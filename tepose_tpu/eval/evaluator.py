@@ -1,0 +1,178 @@
+"""Batched theta-feedback evaluation engine.
+
+ref: evaluate.py:209-462. The reference evaluates one video at a time with a
+strictly sequential Python window loop (B=1). Here videos are padded to a
+common length and evaluated as a *batch* inside one jitted program:
+
+  1. VIBE bootstrap on each video's first `seqlen` frames gives predictions
+     for frames 0..seqlen-2 (ref: evaluate.py:233-245); the theta ring buffer
+     is initialised from pseudo-thetas (ref: evaluate.py:219).
+  2. A `lax.scan` over the window index advances all videos in lockstep,
+     carrying each video's (seqlen-1, 85) theta buffer (the feedback is a true
+     serial dependency per video — throughput comes from the batch axis).
+  3. Per-frame metric ingredients (j3d, theta, per-frame MPVPE) are emitted
+     from the scan; full (T, 6890, 3) vertex tensors never materialise.
+
+The per-frame outputs are masked by each video's true length on the host, and
+metric aggregation follows the reference exactly (see eval.metrics and
+aggregate_metrics below).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tepose_tpu.eval import metrics as M
+from tepose_tpu.models.smpl import (
+    SmplModel, smpl_forward, H36M_TO_J14,
+)
+from tepose_tpu.models.tepose import (
+    TePoseConfig, VibeConfig, tepose_apply, vibe_apply,
+)
+from tepose_tpu.data.kp_utils import perm_idxs
+
+
+def make_eval_scan(smpl: SmplModel, model_cfg: TePoseConfig,
+                   vibe_cfg: VibeConfig, num_windows: int,
+                   use_j_regressor: bool):
+    """Build the jitted batched eval function for videos padded to
+    T = num_windows + seqlen - 1 frames.
+
+    Returns fn(gen_params, vibe_params, feats (B,T,2048),
+               theta_pseu (B,S-1,85), theta_gt (B,T,85), j_regressor)
+      -> dict with pred_j3d (B,T,K,3), pred_theta (B,T,85),
+         mpvpe (B,T) per-frame vertex error vs GT-theta SMPL rebuild.
+    """
+    S = model_cfg.seqlen
+
+    def eval_fn(gen_params, vibe_params, feats, theta_pseu, theta_gt,
+                j_regressor):
+        B, T = feats.shape[:2]
+        jreg = j_regressor if use_j_regressor else None
+
+        # ---- VIBE bootstrap over the first window (evaluate.py:233-245) ---
+        vibe_out = vibe_apply(vibe_params, smpl, feats[:, :S], vibe_cfg,
+                              j_regressor=jreg)
+        boot_j3d = vibe_out["kp_3d"][:, :S - 1]       # (B, S-1, K, 3)
+        boot_theta = vibe_out["theta"][:, :S - 1]
+        boot_verts = vibe_out["verts"][:, :S - 1]
+
+        # ---- sliding-window scan with theta-buffer carry ------------------
+        def step(theta_buf, k):
+            win = jax.lax.dynamic_slice_in_dim(feats, k, S, axis=1)
+            fb = jnp.concatenate(
+                [theta_buf, jnp.zeros_like(theta_buf[:, :1])], axis=1)
+            inp = jnp.concatenate([win, fb], axis=-1)
+            out = tepose_apply(gen_params, smpl, inp, model_cfg,
+                               j_regressor=jreg)
+            theta = out["theta"]                      # (B, 85)
+            new_buf = jnp.concatenate(
+                [theta_buf[:, 1:], theta[:, None]], axis=1)
+            return new_buf, (out["kp_3d"], theta, out["verts"])
+
+        _, (scan_j3d, scan_theta, scan_verts) = jax.lax.scan(
+            step, theta_pseu, jnp.arange(num_windows))
+        # scan outputs are (W, B, ...) -> (B, W, ...)
+        scan_j3d = jnp.swapaxes(scan_j3d, 0, 1)
+        scan_theta = jnp.swapaxes(scan_theta, 0, 1)
+        scan_verts = jnp.swapaxes(scan_verts, 0, 1)
+
+        pred_j3d = jnp.concatenate([boot_j3d, scan_j3d], axis=1)   # (B,T,K,3)
+        pred_theta = jnp.concatenate([boot_theta, scan_theta], axis=1)
+        pred_verts = jnp.concatenate([boot_verts, scan_verts], axis=1)
+
+        # ---- per-frame MPVPE vs GT verts rebuilt from target theta --------
+        # (ref: eval_utils.py:141-175; GT path uses pose2rot)
+        gt_out = smpl_forward(
+            smpl, theta_gt[..., 75:].reshape(B * T, 10),
+            theta_gt[..., 3:75].reshape(B * T, 72), pose2rot=True)
+        gt_verts = gt_out["verts"].reshape(B, T, -1, 3)
+        mpvpe = jnp.sqrt(
+            ((pred_verts - gt_verts) ** 2).sum(-1)).mean(-1)       # (B, T)
+
+        return {"pred_j3d": pred_j3d, "pred_theta": pred_theta,
+                "mpvpe": mpvpe}
+
+    return jax.jit(eval_fn)
+
+
+@dataclasses.dataclass
+class EvalAccumulator:
+    """Host-side per-video metric aggregation, reference conventions.
+
+    ref: evaluate.py:392-462 — per-frame metric values are concatenated
+    across videos and averaged at the end.
+    """
+
+    dataset: str = "3dpw"
+    mpjpe: list = dataclasses.field(default_factory=list)
+    pa_mpjpe: list = dataclasses.field(default_factory=list)
+    mpvpe: list = dataclasses.field(default_factory=list)
+    accel_err: list = dataclasses.field(default_factory=list)
+
+    def add_video(self, pred_j3d: np.ndarray, target_j3d: np.ndarray,
+                  mpvpe: Optional[np.ndarray] = None,
+                  valid_map: Optional[np.ndarray] = None) -> None:
+        """Add one video's frames. pred/target (T, K, 3) already in the
+        evaluation joint format (14-joint common or 17-joint mpii3d_test)."""
+        T = pred_j3d.shape[0]
+        if valid_map is None:
+            valid_map = np.arange(T)
+
+        if self.dataset == "mpii3d":
+            pred_pel = pred_j3d[:, [-3]]
+            tgt_pel = target_j3d[:, [-3]]
+        else:
+            pred_pel = (pred_j3d[:, [2]] + pred_j3d[:, [3]]) / 2.0
+            tgt_pel = (target_j3d[:, [2]] + target_j3d[:, [3]]) / 2.0
+        pred = pred_j3d - pred_pel
+        tgt = target_j3d - tgt_pel
+
+        m2mm = 1000.0
+        errs = np.asarray(M.mpjpe(jnp.asarray(pred), jnp.asarray(tgt)))
+        errs_pa = np.asarray(M.pa_mpjpe(jnp.asarray(pred), jnp.asarray(tgt)))
+        self.mpjpe.append(errs[valid_map] * m2mm)
+        self.pa_mpjpe.append(errs_pa[valid_map] * m2mm)
+
+        if mpvpe is not None:
+            self.mpvpe.append(np.asarray(mpvpe) * m2mm)
+
+        # accel error: zero-padded at both ends, boundary frames dropped from
+        # valid_map (ref: evaluate.py:441-450)
+        accel = np.zeros(T)
+        accel[1:-1] = M.accel_error_eval(pred, tgt) * m2mm
+        vm = valid_map
+        if len(vm) > 1:
+            if vm[0] == 0:
+                vm = vm[1:]
+            if len(vm) and vm[-1] == T - 1:
+                vm = vm[:-1]
+            self.accel_err.append(accel[vm])
+
+    def summarize(self) -> Dict[str, float]:
+        out = {}
+        for name in ("mpjpe", "pa_mpjpe", "mpvpe", "accel_err"):
+            vals = getattr(self, name)
+            if vals:
+                out[name] = float(np.mean(np.concatenate(vals)))
+        return out
+
+
+def spin49_to_eval_format(j3d: np.ndarray, dataset: str) -> np.ndarray:
+    """Reduce 49-joint spin predictions to the dataset's eval joints.
+
+    Used on the mpii3d path where no H36M J_regressor applies
+    (ref: evaluate.py:393-395); 3dpw/h36m predictions already come out as
+    J14 through the J_regressor inside the model.
+    """
+    from tepose_tpu.data.kp_utils import convert_kps
+
+    T = j3d.shape[0]
+    if dataset == "mpii3d":
+        return convert_kps(j3d, "spin", "mpii3d_test")
+    return j3d[:, np.asarray(perm_idxs("spin", "common"))]

@@ -1,0 +1,270 @@
+"""The TePose training engine, TPU-first.
+
+ref: lib/core/trainer.py:39-503. The reference's Python inner loop over
+sliding windows (trainer.py:163-247) — window assembly, scheduled sampling,
+theta ring-buffer feedback, generator backprop and cadenced discriminator
+updates — is compiled into a single `lax.scan` over the window index, so one
+device launch executes a whole (outer-batch x NUM_ITERS_PER_EPOCH) training
+segment with zero host round-trips.
+
+Design notes:
+  * One combined backward pass serves both nets: the generator's adversarial
+    term sees stop-gradient(disc params) and the discriminator terms see
+    stop-gradient(fake motion), so `jax.grad` of the summed scalar w.r.t.
+    (gen_params, disc_params) yields exactly the two updates the reference
+    computes with two separate `.backward()` calls (trainer.py:235-242).
+  * Dynamic row filtering (window validity, w_smpl gating) is masked-mean
+    arithmetic (see train.loss) + row-masked BatchNorm stats (see
+    models.gcn.bn_apply) — numerically identical, statically shaped.
+  * The discriminator update fires only when `j % update_steps == 0` AND the
+    motion loss is nonzero (ref: trainer.py:239), via `lax.cond` so skipped
+    steps leave optimiser state untouched like the reference.
+  * Scheduled sampling draws (`bernoulli(update_theta_rate)`,
+    trainer.py:135,183) use the carried PRNG key; 2D rows are forced to
+    pseudo-theta across clip-channel switches (trainer.py:185-186).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tepose_tpu.models.gcn import motion_discriminator_apply
+from tepose_tpu.models.smpl import SmplModel
+from tepose_tpu.models.tepose import TePoseConfig, tepose_apply
+from tepose_tpu.train.loss import LossWeights, tepose_loss
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainHyper:
+    """Static training hyperparameters baked into the compiled step."""
+
+    seqlen: int = 6
+    n_2d: int = 19               # 2D rows per batch (BATCH_SIZE*DATA_2D_RATIO)
+    n_3d: int = 13
+    update_theta_rate: float = 0.9
+    disc_update_steps: int = 1
+    num_gcn_scales: int = 13
+    num_g3d_scales: int = 6
+
+
+def _slice_t(x: jnp.ndarray, j, size: int, axis: int) -> jnp.ndarray:
+    return jax.lax.dynamic_slice_in_dim(x, j, size, axis=axis)
+
+
+def assemble_window(batch_2d: Dict, batch_3d: Dict, theta_buf: jnp.ndarray,
+                    j, hp: TrainHyper, rng: jax.Array):
+    """Build the (B, S, 2133) window input for step j.
+
+    ref: trainer.py:178-199. Returns (inp, new_theta_buf, update_mask, valid,
+    targets dict).
+    """
+    S = hp.seqlen
+
+    # ---- 2D rows: two parallel clip channels, pick the active one ----------
+    # switch_id (B2, 2, VIDLEN) marks the active channel per frame.
+    sel = jax.lax.dynamic_index_in_dim(
+        batch_2d["switch_id"], j + S - 1, axis=2, keepdims=False)  # (B2, 2)
+    feats2_win = _slice_t(batch_2d["features"], j, S, axis=2)  # (B2,2,S,2048)
+    feats2 = jnp.einsum("bc,bcsf->bsf", sel, feats2_win)
+    pseu2_full = _slice_t(batch_2d["theta_pseu"], j, S - 1, axis=2)
+    pseu2 = jnp.einsum("bc,bcsf->bsf", sel, pseu2_full)        # (B2,S-1,85)
+
+    # scheduled sampling is forced OFF at channel switches (trainer.py:185)
+    prev_idx = jnp.maximum(j + S - 2, S - 1)
+    sw_now = jax.lax.dynamic_index_in_dim(
+        batch_2d["switch_id"][:, 0], j + S - 1, axis=1, keepdims=False)
+    sw_prev = jax.lax.dynamic_index_in_dim(
+        batch_2d["switch_id"][:, 0], prev_idx, axis=1, keepdims=False)
+    switch_2d = 1.0 - jnp.abs(sw_now - sw_prev)                # (B2,)
+
+    # ---- 3D rows ----------------------------------------------------------
+    feats3 = _slice_t(batch_3d["features"], j, S, axis=1)      # (B3,S,2048)
+    pseu3 = _slice_t(batch_3d["theta_pseu"], j, S - 1, axis=1)  # (B3,S-1,85)
+
+    feats = jnp.concatenate([feats2, feats3], axis=0)          # (B,S,2048)
+    pseu = jnp.concatenate([pseu2, pseu3], axis=0)             # (B,S-1,85)
+
+    # ---- scheduled sampling draw (trainer.py:183-186) ---------------------
+    bern = jax.random.bernoulli(
+        rng, hp.update_theta_rate, (hp.n_2d + hp.n_3d,)).astype(jnp.float32)
+    force = jnp.concatenate([switch_2d, jnp.ones((hp.n_3d,))])
+    update = bern * force                                      # (B,)
+
+    # rows with update==0 fall back to pseudo-theta AND reset the ring buffer
+    # (trainer.py:193,196)
+    u = update[:, None, None]
+    theta_buf = jnp.where(u > 0, theta_buf, pseu)
+
+    inp = jnp.concatenate(
+        [feats,
+         jnp.concatenate([theta_buf,
+                          jnp.zeros_like(theta_buf[:, :1])], axis=1)],
+        axis=-1)                                               # (B,S,2133)
+
+    vidlen = jnp.concatenate(
+        [batch_2d["vidlen_each"], batch_3d["vidlen_each"]]).reshape(-1)
+    valid = (j < (vidlen - S + 1)).astype(jnp.float32)         # (B,)
+
+    # ---- last-frame supervision targets (trainer.py:205-213) --------------
+    t = j + S - 1
+    kp2d_2 = jax.lax.dynamic_index_in_dim(batch_2d["kp_2d"], t, 1, False)
+    kp2d_3 = jax.lax.dynamic_index_in_dim(batch_3d["kp_2d"], t, 1, False)
+    kp_2d_gt = jnp.concatenate([kp2d_2, kp2d_3], axis=0)       # (B,49,3)
+    targets = {
+        "kp_2d": jnp.tile(kp_2d_gt[:, None], (1, 2, 1, 1)),
+        "kp_3d": jnp.tile(jax.lax.dynamic_index_in_dim(
+            batch_3d["kp_3d"], t, 1, False)[:, None], (1, 2, 1, 1)),
+        "theta": jnp.tile(jax.lax.dynamic_index_in_dim(
+            batch_3d["theta"], t, 1, False)[:, None], (1, 2, 1)),
+        "w_3d": jax.lax.dynamic_index_in_dim(batch_3d["w_3d"], t, 1, False),
+        "w_smpl": jax.lax.dynamic_index_in_dim(
+            batch_3d["w_smpl"], t, 1, False),
+    }
+    return inp, theta_buf, update, valid, targets
+
+
+def make_train_segment(
+    smpl: SmplModel,
+    model_cfg: TePoseConfig,
+    hp: TrainHyper,
+    gen_tx: optax.GradientTransformation,
+    disc_tx: optax.GradientTransformation,
+    weights: LossWeights,
+    num_iters: int,
+):
+    """Build the jitted function running `num_iters` windows of GAN training
+    over one (2D batch, 3D batch) pair entirely on device.
+
+    Returns fn(gen_params, disc_params, disc_state, gen_opt, disc_opt,
+               batch_2d, batch_3d, amass_theta, rng)
+        -> (gen_params, disc_params, disc_state, gen_opt, disc_opt, metrics)
+
+    amass_theta: (num_iters, B, S, 85) pre-sampled real-motion windows
+    (the reference draws a fresh AMASS batch per inner step, trainer.py:165).
+    """
+    S = hp.seqlen
+
+    def losses_fn(gen_params, disc_params, disc_state, inp, targets, valid,
+                  theta_buf, amass, rng):
+        preds = tepose_apply(gen_params, smpl, inp, model_cfg, train=True,
+                             rng=rng)
+
+        # Threaded discriminator state across the 3 passes (enc, fake, real),
+        # in the reference's order (loss.py:143-150).
+        state_box = {"s": disc_state}
+
+        def disc_fn_gen(x, mask):
+            # generator pass: no grads into disc params
+            frozen = jax.tree_util.tree_map(jax.lax.stop_gradient, disc_params)
+            val, new_s = motion_discriminator_apply(
+                frozen, state_box["s"], x,
+                num_gcn_scales=hp.num_gcn_scales,
+                num_g3d_scales=hp.num_g3d_scales, train=True, row_mask=mask)
+            state_box["s"] = new_s
+            return val
+
+        def disc_fn_disc(x, mask):
+            val, new_s = motion_discriminator_apply(
+                disc_params, state_box["s"], x,
+                num_gcn_scales=hp.num_gcn_scales,
+                num_g3d_scales=hp.num_g3d_scales, train=True, row_mask=mask)
+            state_box["s"] = new_s
+            return val
+
+        calls = {"n": 0}
+
+        def disc_fn(x, mask):
+            calls["n"] += 1
+            # 1st call = generator adversarial pass; 2nd/3rd = disc update
+            return disc_fn_gen(x, mask) if calls["n"] == 1 \
+                else disc_fn_disc(x, mask)
+
+        gen_loss, dis_loss, ld = tepose_loss(
+            preds, kp_2d_gt=targets["kp_2d"], kp_3d_gt=targets["kp_3d"],
+            theta_gt=targets["theta"], w_3d=targets["w_3d"],
+            w_smpl=targets["w_smpl"], valid=valid, n_2d=hp.n_2d,
+            prev_thetas=jax.lax.stop_gradient(theta_buf),
+            real_motion=amass, disc_fn=disc_fn, weights=weights)
+
+        mean_theta = jax.lax.stop_gradient(preds["theta"].mean(axis=1))
+        combined = gen_loss + dis_loss
+        return combined, (gen_loss, dis_loss, ld, state_box["s"], mean_theta)
+
+    grad_fn = jax.grad(losses_fn, argnums=(0, 1), has_aux=True)
+
+    def window_step(carry, xs):
+        (gen_params, disc_params, disc_state, gen_opt, disc_opt, theta_buf,
+         batch_2d, batch_3d) = carry
+        j, amass, rng = xs
+        k_samp, k_drop = jax.random.split(rng)
+
+        inp, theta_buf, _, valid, targets = assemble_window(
+            batch_2d, batch_3d, theta_buf, j, hp, k_samp)
+
+        (g_gen, g_disc), (gen_loss, dis_loss, ld, disc_state, mean_theta) = \
+            grad_fn(gen_params, disc_params, disc_state, inp, targets, valid,
+                    theta_buf, amass, k_drop)
+
+        any_valid = valid.sum() > 0
+
+        # generator step (skipped entirely when no window is valid,
+        # ref: trainer.py:201)
+        def gen_update(args):
+            gp, go = args
+            updates, go = gen_tx.update(g_gen, go, gp)
+            return optax.apply_updates(gp, updates), go
+
+        gen_params, gen_opt = jax.lax.cond(
+            any_valid, gen_update, lambda a: a, (gen_params, gen_opt))
+
+        # discriminator step on cadence with nonzero loss (trainer.py:239-242)
+        do_disc = any_valid & (j % hp.disc_update_steps == 0) & (dis_loss != 0)
+
+        def disc_update(args):
+            dp, do = args
+            updates, do = disc_tx.update(g_disc, do, dp)
+            return optax.apply_updates(dp, updates), do
+
+        disc_params, disc_opt = jax.lax.cond(
+            do_disc, disc_update, lambda a: a, (disc_params, disc_opt))
+
+        # ring-buffer shift for still-running videos (trainer.py:245-247)
+        shifted = jnp.concatenate([theta_buf[:, 1:], mean_theta[:, None]],
+                                  axis=1)
+        theta_buf = jnp.where(valid[:, None, None] > 0, shifted, theta_buf)
+
+        metrics = {"gen_loss": gen_loss, "dis_loss": dis_loss,
+                   **{k: v for k, v in ld.items()}}
+        return (gen_params, disc_params, disc_state, gen_opt, disc_opt,
+                theta_buf, batch_2d, batch_3d), metrics
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
+    def train_segment(gen_params, disc_params, disc_state, gen_opt, disc_opt,
+                      batch_2d, batch_3d, amass_theta, rng):
+        B = hp.n_2d + hp.n_3d
+        # init theta feedback from pseudo-thetas at j=0 (trainer.py:178-181)
+        sel0 = batch_2d["switch_id"][:, :, S - 1]
+        pseu2 = jnp.einsum("bc,bcsf->bsf", sel0,
+                           batch_2d["theta_pseu"][:, :, :S - 1])
+        pseu3 = batch_3d["theta_pseu"][:, :S - 1]
+        theta_buf = jnp.concatenate([pseu2, pseu3], axis=0)
+
+        rngs = jax.random.split(rng, num_iters)
+        xs = (jnp.arange(num_iters), amass_theta, rngs)
+        carry = (gen_params, disc_params, disc_state, gen_opt, disc_opt,
+                 theta_buf, batch_2d, batch_3d)
+        carry, metrics = jax.lax.scan(window_step, carry, xs)
+        (gen_params, disc_params, disc_state, gen_opt, disc_opt,
+         _, _, _) = carry
+        # per-segment means for logging
+        metrics = {k: v.mean() for k, v in metrics.items()}
+        return (gen_params, disc_params, disc_state, gen_opt, disc_opt,
+                metrics)
+
+    return train_segment
