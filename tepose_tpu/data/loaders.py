@@ -1,0 +1,159 @@
+"""Host-side batch loaders with background prefetch.
+
+ref: lib/dataset/loaders.py:61-130 (get_data_loaders: train_2d / train_3d /
+motion_disc / valid) and SURVEY.md §2.6 (host dataloader parallelism).
+
+Instead of torch DataLoader worker processes, batches are assembled by a
+small thread pool and staged through a prefetch queue so the device never
+waits on item assembly; the heavy arrays live in the joblib DBs as
+memory-mapped numpy, so item assembly is slicing + light transforms.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+def stack_items(items: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    return {k: np.stack([it[k] for it in items], axis=0)
+            for k in items[0].keys()}
+
+
+class BatchLoader:
+    """Shuffled, infinitely-cycling batch iterator with thread prefetch."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, prefetch: int = 2, drop_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.RandomState(seed)
+        self._prefetch = prefetch
+        self._queue: Optional[queue.Queue] = None
+        self._thread: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else \
+            -(-n // self.batch_size)
+
+    def _epoch_order(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        return idx
+
+    def _producer(self) -> None:
+        while not self._stop.is_set():
+            order = self._epoch_order()
+            nb = len(self)
+            for b in range(nb):
+                if self._stop.is_set():
+                    return
+                sel = order[b * self.batch_size:(b + 1) * self.batch_size]
+                if len(sel) < self.batch_size and self.drop_last:
+                    continue
+                batch = stack_items([self.dataset[int(i)] for i in sel])
+                self._queue.put(batch)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self._thread is None:
+            self._queue = queue.Queue(maxsize=self._prefetch)
+            self._thread = threading.Thread(target=self._producer,
+                                            daemon=True)
+            self._thread.start()
+        while True:
+            yield self._queue.get()
+
+    def close(self) -> None:
+        self._stop.set()
+        if self._queue is not None:
+            try:
+                while True:
+                    self._queue.get_nowait()
+            except queue.Empty:
+                pass
+
+
+def get_data_loaders(cfg, db_overrides: Optional[Dict] = None):
+    """Build (train_2d, train_3d, motion_disc, valid) loaders from a config.
+
+    ref: loaders.py:61-130 — batch split: 2D rows =
+    int(BATCH_SIZE * DATA_2D_RATIO), 3D rows = the rest; the discriminator
+    loader draws BATCH_SIZE AMASS windows; the valid loader serves
+    cfg.TRAIN.DATASET_EVAL whole videos.
+
+    db_overrides maps dataset-name -> (db, psetheta) for tests / preloaded
+    data.
+    """
+    from tepose_tpu.data import datasets as D
+
+    seqlen = cfg.DATASET.SEQLEN
+    vidlen = cfg.DATASET.VIDLEN
+    load_opt = cfg.TITLE
+    over = db_overrides or {}
+
+    def make(name, is_2d):
+        kw = {}
+        if name.lower() in over:
+            kw["db"], kw["psetheta"] = over[name.lower()]
+        if is_2d:
+            if name == "Insta":
+                return D.Insta(load_opt, seqlen, vidlen, **kw)
+            if name == "PoseTrack":
+                return D.PoseTrack(load_opt, seqlen, vidlen, **kw)
+            raise ValueError(f"unknown 2D dataset {name}")
+        cls = {"ThreeDPW": D.ThreeDPW, "MPII3D": D.MPII3D,
+               "Human36M": D.Human36M}[name]
+        return cls(load_opt, "train", seqlen, vidlen, **kw)
+
+    class Concat:
+        def __init__(self, parts):
+            self.parts = parts
+            self.cum = np.cumsum([len(p) for p in parts])
+
+        def __len__(self):
+            return int(self.cum[-1])
+
+        def __getitem__(self, i):
+            p = int(np.searchsorted(self.cum, i, side="right"))
+            off = i - (self.cum[p - 1] if p else 0)
+            return self.parts[p][int(off)]
+
+    n_2d = int(round(cfg.TRAIN.BATCH_SIZE * cfg.TRAIN.DATA_2D_RATIO))
+    n_3d = cfg.TRAIN.BATCH_SIZE - n_2d
+
+    train_2d = None
+    if cfg.TRAIN.DATASETS_2D:
+        ds2 = Concat([make(n, True) for n in cfg.TRAIN.DATASETS_2D])
+        train_2d = BatchLoader(ds2, n_2d, seed=cfg.SEED_VALUE + 1
+                               if cfg.SEED_VALUE >= 0 else 1)
+
+    ds3 = Concat([make(n, False) for n in cfg.TRAIN.DATASETS_3D])
+    train_3d = BatchLoader(ds3, n_3d, seed=cfg.SEED_VALUE + 2
+                           if cfg.SEED_VALUE >= 0 else 2)
+
+    amass_kw = {}
+    if "amass" in over:
+        amass_kw["db"] = over["amass"][0]
+    disc = BatchLoader(D.AMASS(seqlen, **amass_kw), cfg.TRAIN.BATCH_SIZE,
+                       seed=3)
+
+    eval_name = cfg.TRAIN.DATASET_EVAL
+    eval_kw = {}
+    if eval_name.lower() in over:
+        eval_kw["db"], eval_kw["psetheta"] = over[eval_name.lower()]
+    valid_ds = {"ThreeDPW": D.ThreeDPW, "MPII3D": D.MPII3D,
+                "Human36M": D.Human36M,
+                "Human36M_VAL": D.Human36M}[eval_name](
+        load_opt, "val", seqlen, vidlen, **eval_kw)
+    valid = BatchLoader(valid_ds, batch_size=min(len(valid_ds), 8),
+                        shuffle=False, drop_last=False)
+
+    return train_2d, train_3d, disc, valid
