@@ -28,6 +28,8 @@ import jax.numpy as jnp  # noqa: E402
 from tepose_tpu.models.smpl import synthetic_smpl_model  # noqa: E402
 from tepose_tpu.models.tepose import (  # noqa: E402
     TePoseConfig, tepose_init, tepose_apply)
+from tepose_tpu.utils.packing import (  # noqa: E402
+    FlatPacker, pack_smpl, unpack_smpl)
 
 BASELINE_TARGET_FPS = 120.0  # 4 x assumed 30 FPS reference streaming rate
 
@@ -40,7 +42,12 @@ def main() -> None:
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         params = tepose_init(jax.random.PRNGKey(0), cfg)
-    params = jax.device_put(params)
+
+    # one packed buffer instead of ~56 leaves: the tunnel charges ~150 ms per
+    # used input buffer per call (see utils/packing.py), so packing is the
+    # difference between 360 FPS and 37k FPS on this link.
+    packer = FlatPacker((params, pack_smpl(smpl)))
+    flats = jax.device_put(packer.pack((params, pack_smpl(smpl))))
 
     B = 64            # concurrent streams
     frames = 101      # frames per stream in the timed segment
@@ -52,11 +59,14 @@ def main() -> None:
     theta0 = jnp.zeros((B, S - 1, 85))
 
     @jax.jit
-    def stream(params, smpl, feats, theta_buf):
+    def stream(flats, feats, theta_buf):
+        params, smpl_t = packer.unpack(flats)
+        model = unpack_smpl(smpl, smpl_t)
+
         def step(buf, k):
             win = jax.lax.dynamic_slice_in_dim(feats, k, S, axis=1)
             fb = jnp.concatenate([buf, jnp.zeros_like(buf[:, :1])], axis=1)
-            out = tepose_apply(params, smpl, jnp.concatenate([win, fb], -1),
+            out = tepose_apply(params, model, jnp.concatenate([win, fb], -1),
                                cfg)
             theta = out["theta"]
             return (jnp.concatenate([buf[:, 1:], theta[:, None]], 1),
@@ -65,15 +75,16 @@ def main() -> None:
         _, (thetas, j3d) = jax.lax.scan(step, theta_buf, jnp.arange(W))
         return thetas, j3d
 
-    # warmup/compile
-    thetas, j3d = stream(params, smpl, feats, theta0)
-    np.asarray(thetas)  # force full sync through the transfer path
+    # warmup/compile; NOTE: block_until_ready is unreliable over the axon
+    # tunnel — a host readback (np.asarray) is the only true barrier.
+    thetas, j3d = stream(flats, feats, theta0)
+    np.asarray(thetas)
 
-    reps = 5
+    reps = 10
     t0 = time.time()
     for _ in range(reps):
-        thetas, j3d = stream(params, smpl, feats, theta0)
-    np.asarray(thetas)  # sync
+        thetas, j3d = stream(flats, feats, theta0)
+        np.asarray(thetas[-1, 0, :1])  # per-rep sync (tiny readback)
     dt = (time.time() - t0) / reps
 
     fps = B * W / dt

@@ -1,0 +1,241 @@
+#!/usr/bin/env python
+"""Benchmark evaluation CLI — reference-compatible surface.
+
+ref: evaluate.py (the reference's hand-rolled eval loop, :209-462). Usage:
+
+  python evaluate.py --dataset 3dpw --cfg configs/repr_wopw_3dpw_model.yaml
+  python evaluate.py --dataset mpii3d --cfg ... [--seq S] [--filter] [--plot]
+  python evaluate.py --synthetic            # smoke-run on generated data
+
+Differences from the reference, by design (TPU-first):
+  * videos are evaluated as padded batches through one jitted
+    lax.scan program (eval.evaluator) instead of a per-video Python loop;
+  * checkpoints are converted `.npz` files (tools/convert_checkpoint.py);
+  * rendering requires pyrender and is gated behind --render with a clear
+    message when unavailable.
+"""
+
+import argparse
+import os
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+
+def build_models(cfg, synthetic: bool):
+    import jax
+
+    from tepose_tpu.config import BASE_DATA_DIR
+    from tepose_tpu.models.smpl import load_smpl_assets, synthetic_smpl_model
+    from tepose_tpu.models.tepose import (
+        TePoseConfig, VibeConfig, tepose_init, vibe_init)
+    from tepose_tpu.train.checkpoint import load_checkpoint
+
+    mcfg = TePoseConfig(seqlen=cfg.DATASET.SEQLEN,
+                        n_layers=cfg.MODEL.TGRU.NUM_LAYERS,
+                        hidden_size=cfg.MODEL.TGRU.HIDDEN_SIZE)
+    # the bootstrap VIBE (ref: evaluate.py:89-98)
+    vcfg = VibeConfig(seqlen=16, n_layers=2, hidden_size=1024,
+                      add_linear=True)
+
+    smpl_npz = osp.join(BASE_DATA_DIR, "smpl_neutral.npz")
+    if osp.isfile(smpl_npz):
+        smpl = load_smpl_assets(smpl_npz)
+    elif synthetic:
+        smpl = synthetic_smpl_model(seed=0)
+    else:
+        raise FileNotFoundError(
+            f"{smpl_npz} not found — convert your licensed SMPL pkl with "
+            "tools/convert_smpl.py (or pass --synthetic for a smoke run)")
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    if synthetic:
+        with jax.default_device(cpu):
+            gen = tepose_init(jax.random.PRNGKey(0), mcfg)
+            vibe = vibe_init(jax.random.PRNGKey(1), vcfg)
+    else:
+        if not osp.isfile(cfg.TRAIN.PRETRAINED):
+            print(f"{cfg.TRAIN.PRETRAINED} is not a pretrained model! "
+                  "Exiting...")
+            sys.exit(1)
+        trees, scalars = load_checkpoint(cfg.TRAIN.PRETRAINED)
+        gen = trees["gen"]
+        if "performance" in scalars:
+            print(f"Loaded checkpoint, performance "
+                  f"{scalars['performance']:.2f}")
+        vibe_npz = osp.join(BASE_DATA_DIR, "vibe_wo_3dpw.npz")
+        if not osp.isfile(vibe_npz):
+            raise FileNotFoundError(
+                f"{vibe_npz} not found — convert the released VIBE "
+                "checkpoint with tools/convert_checkpoint.py --kind vibe")
+        vibe = load_checkpoint(vibe_npz)[0]["gen"]
+
+    jreg_path = osp.join(BASE_DATA_DIR, "J_regressor_h36m.npy")
+    if osp.isfile(jreg_path):
+        j_regressor = np.load(jreg_path).astype(np.float32)
+    else:
+        if not synthetic:
+            raise FileNotFoundError(f"{jreg_path} missing")
+        rs = np.random.RandomState(7)
+        j_regressor = (rs.rand(17, smpl.num_verts) ** 8).astype(np.float32)
+        j_regressor /= j_regressor.sum(1, keepdims=True)
+
+    return smpl, mcfg, vcfg, gen, vibe, j_regressor
+
+
+def synthetic_eval_data(num_videos=3, min_len=40, max_len=90, seed=0):
+    rs = np.random.RandomState(seed)
+    data = {}
+    for i in range(num_videos):
+        n = int(rs.randint(min_len, max_len))
+        data[f"synthetic_vid_{i}"] = {
+            "features": rs.randn(n, 2048).astype(np.float32) * 0.1,
+            "joints3D": rs.randn(n, 49, 3).astype(np.float32) * 0.2,
+            "theta_pseu": np.concatenate(
+                [np.tile([1.0, 0, 0], (n, 1)),
+                 rs.randn(n, 82) * 0.1], axis=1).astype(np.float32),
+            "pose": (rs.randn(n, 72) * 0.2).astype(np.float32),
+            "shape": (rs.randn(n, 10) * 0.2).astype(np.float32),
+        }
+    return data
+
+
+def run_eval(cfg, args, synthetic: bool = False):
+    import jax
+    import jax.numpy as jnp
+
+    from tepose_tpu.data.db import (
+        eval_db_paths, key_eval_db_by_video, load_db, load_pseudotheta)
+    from tepose_tpu.data.kp_utils import convert_kps
+    from tepose_tpu.eval.evaluator import (
+        EvalAccumulator, make_eval_scan, spin49_to_eval_format)
+    from tepose_tpu.models.smpl import smpl_forward
+    from tepose_tpu.ops.geometry import batch_rodrigues
+    from tepose_tpu.ops.quaternion import smooth_rotmats_slerp
+
+    dataset = args.dataset
+    smpl, mcfg, vcfg, gen, vibe, j_regressor = build_models(cfg, synthetic)
+    S = mcfg.seqlen
+    use_jreg = dataset != "mpii3d"
+
+    if synthetic:
+        data = synthetic_eval_data()
+    else:
+        db_file, pse_file = eval_db_paths(dataset, cfg.TITLE, args.render)
+        print(f"Load data from {db_file}")
+        db = load_db(db_file)
+        pse = load_pseudotheta(pse_file)
+        data = key_eval_db_by_video(db, pse, target_action=args.seq,
+                                    is_mpii3d=(dataset == "mpii3d"))
+
+    # ---- bucket videos by padded length to bound compile count ------------
+    names = [n for n in data if len(data[n]["features"]) >= S]
+    lengths = {n: len(data[n]["features"]) for n in names}
+    bucket = lambda n: -(-lengths[n] // 128) * 128
+    buckets = {}
+    for n in names:
+        buckets.setdefault(bucket(n), []).append(n)
+
+    acc = EvalAccumulator(dataset=dataset)
+    eval_fns = {}
+    jreg = jnp.asarray(j_regressor)
+    tot_frames = 0
+    t_start = time.time()
+
+    MAX_B = 8
+    for T_pad, vids in sorted(buckets.items()):
+        W = T_pad - S + 1
+        if W not in eval_fns:
+            eval_fns[W] = make_eval_scan(smpl, mcfg, vcfg, W, use_jreg)
+        fn = eval_fns[W]
+        for i in range(0, len(vids), MAX_B):
+            chunk = vids[i:i + MAX_B]
+            B = len(chunk)
+            feats = np.zeros((B, T_pad, 2048), np.float32)
+            pseu = np.zeros((B, S - 1, 85), np.float32)
+            theta_gt = np.zeros((B, T_pad, 85), np.float32)
+            for b, n in enumerate(chunk):
+                d = data[n]
+                L = lengths[n]
+                feats[b, :L] = d["features"]
+                pseu[b] = d["theta_pseu"][:S - 1]
+                theta_gt[b, :L, :3] = [1.0, 0.0, 0.0]
+                theta_gt[b, :L, 3:75] = d["pose"][:L]
+                theta_gt[b, :L, 75:] = d["shape"][:L]
+            out = fn(gen, vibe, jnp.asarray(feats), jnp.asarray(pseu),
+                     jnp.asarray(theta_gt), jreg)
+            pred_j3d = np.asarray(out["pred_j3d"])
+            pred_theta = np.asarray(out["pred_theta"])
+            mpvpe = np.asarray(out["mpvpe"])
+
+            for b, n in enumerate(chunk):
+                d = data[n]
+                L = lengths[n]
+                pj = pred_j3d[b, :L]
+                if args.filter:
+                    # slerp-smooth the rotations, rebuild SMPL + J14
+                    # (ref: evaluate.py:273-291)
+                    rm = np.asarray(batch_rodrigues(jnp.asarray(
+                        pred_theta[b, :L, 3:75].reshape(-1, 3)))).reshape(
+                            L, 24, 3, 3)
+                    rm = smooth_rotmats_slerp(rm, ratio=0.3)
+                    sm = smpl_forward(smpl,
+                                      jnp.asarray(pred_theta[b, :L, 75:]),
+                                      jnp.asarray(rm))
+                    verts = sm["verts"]
+                    from tepose_tpu.models.smpl import (
+                        H36M_TO_J14, regress_h36m_joints)
+                    pj = np.asarray(regress_h36m_joints(
+                        verts, jreg, subset=np.array(H36M_TO_J14)))
+
+                tgt = d["joints3D"][:L].astype(np.float32)
+                valid_map = None
+                if dataset == "mpii3d":
+                    pj = spin49_to_eval_format(pj, "mpii3d")
+                    tgt = convert_kps(tgt, "spin", "mpii3d_test")
+                    vm = d["valid_i"][:L, 0].nonzero()[0]
+                    if vm.size == 0:
+                        print(f"No valid frames in {n}. Continue")
+                        continue
+                    valid_map = vm[vm < L]
+                elif tgt.shape[1] == 49:
+                    tgt = convert_kps(tgt, "spin", "common")
+
+                acc.add_video(
+                    pj, tgt,
+                    mpvpe=mpvpe[b, :L] if dataset == "3dpw" else None,
+                    valid_map=valid_map)
+                tot_frames += L
+
+    res = acc.summarize()
+    dt = time.time() - t_start
+    print(f"\nEvaluated total {tot_frames} poses in {dt:.1f}s "
+          f"({tot_frames / max(dt, 1e-9):.1f} FPS)")
+    print({k: round(v, 4) for k, v in res.items()})
+    return res
+
+
+def main():
+    from tepose_tpu.config import parse_args
+
+    synthetic = "--synthetic" in sys.argv
+    if synthetic:
+        sys.argv.remove("--synthetic")
+    cfg, cfg_file, args = parse_args()
+    if args.render or args.render_plain:
+        try:
+            import pyrender  # noqa: F401
+        except ImportError:
+            print("--render requires pyrender (not installed in this "
+                  "environment); continuing without rendering")
+            args.render = False
+            args.render_plain = False
+    return run_eval(cfg, args, synthetic=synthetic)
+
+
+if __name__ == "__main__":
+    main()

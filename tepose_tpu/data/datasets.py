@@ -93,6 +93,10 @@ class Dataset3D:
                 kp_3d = kp_utils.convert_kps(kp_3d, "spin", "mpii3d_test")
             elif self.dataset_name == "h36m":
                 kp_3d = kp_utils.convert_kps(kp_3d, "spin", "common")
+            elif kp_3d.shape[1] == 49:
+                # 3dpw val DBs store 14-joint common targets; accept 49-joint
+                # spin DBs too by reducing here
+                kp_3d = kp_3d[:, 25:39]
 
         # supervision masks (ref: dataset_3d.py:208-233)
         if self.dataset_name == "3dpw":

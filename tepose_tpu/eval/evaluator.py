@@ -11,7 +11,8 @@ common length and evaluated as a *batch* inside one jitted program:
      carrying each video's (seqlen-1, 85) theta buffer (the feedback is a true
      serial dependency per video — throughput comes from the batch axis).
   3. Per-frame metric ingredients (j3d, theta, per-frame MPVPE) are emitted
-     from the scan; full (T, 6890, 3) vertex tensors never materialise.
+     from the scan; the GT mesh is rebuilt frame-by-frame inside the scan so
+     full (T, 6890, 3) vertex tensors never materialise in HBM.
 
 The per-frame outputs are masked by each video's true length on the host, and
 metric aggregation follows the reference exactly (see eval.metrics and
@@ -62,6 +63,16 @@ def make_eval_scan(smpl: SmplModel, model_cfg: TePoseConfig,
         boot_theta = vibe_out["theta"][:, :S - 1]
         boot_verts = vibe_out["verts"][:, :S - 1]
 
+        def frame_mpvpe(pred_verts_f, k):
+            """Per-frame vertex error vs GT verts rebuilt from target theta
+            (ref: eval_utils.py:141-175; GT path uses pose2rot)."""
+            th = jax.lax.dynamic_index_in_dim(theta_gt, k, axis=1,
+                                              keepdims=False)    # (B, 85)
+            gt = smpl_forward(smpl, th[:, 75:], th[:, 3:75],
+                              pose2rot=True)["verts"]
+            return jnp.sqrt(
+                ((pred_verts_f - gt) ** 2).sum(-1)).mean(-1)     # (B,)
+
         # ---- sliding-window scan with theta-buffer carry ------------------
         def step(theta_buf, k):
             win = jax.lax.dynamic_slice_in_dim(feats, k, S, axis=1)
@@ -73,27 +84,22 @@ def make_eval_scan(smpl: SmplModel, model_cfg: TePoseConfig,
             theta = out["theta"]                      # (B, 85)
             new_buf = jnp.concatenate(
                 [theta_buf[:, 1:], theta[:, None]], axis=1)
-            return new_buf, (out["kp_3d"], theta, out["verts"])
+            mpv = frame_mpvpe(out["verts"], k + S - 1)
+            return new_buf, (out["kp_3d"], theta, mpv)
 
-        _, (scan_j3d, scan_theta, scan_verts) = jax.lax.scan(
+        _, (scan_j3d, scan_theta, scan_mpvpe) = jax.lax.scan(
             step, theta_pseu, jnp.arange(num_windows))
         # scan outputs are (W, B, ...) -> (B, W, ...)
         scan_j3d = jnp.swapaxes(scan_j3d, 0, 1)
         scan_theta = jnp.swapaxes(scan_theta, 0, 1)
-        scan_verts = jnp.swapaxes(scan_verts, 0, 1)
+        scan_mpvpe = jnp.swapaxes(scan_mpvpe, 0, 1)
+
+        boot_mpvpe = jnp.stack(
+            [frame_mpvpe(boot_verts[:, i], i) for i in range(S - 1)], axis=1)
 
         pred_j3d = jnp.concatenate([boot_j3d, scan_j3d], axis=1)   # (B,T,K,3)
         pred_theta = jnp.concatenate([boot_theta, scan_theta], axis=1)
-        pred_verts = jnp.concatenate([boot_verts, scan_verts], axis=1)
-
-        # ---- per-frame MPVPE vs GT verts rebuilt from target theta --------
-        # (ref: eval_utils.py:141-175; GT path uses pose2rot)
-        gt_out = smpl_forward(
-            smpl, theta_gt[..., 75:].reshape(B * T, 10),
-            theta_gt[..., 3:75].reshape(B * T, 72), pose2rot=True)
-        gt_verts = gt_out["verts"].reshape(B, T, -1, 3)
-        mpvpe = jnp.sqrt(
-            ((pred_verts - gt_verts) ** 2).sum(-1)).mean(-1)       # (B, T)
+        mpvpe = jnp.concatenate([boot_mpvpe, scan_mpvpe], axis=1)  # (B, T)
 
         return {"pred_j3d": pred_j3d, "pred_theta": pred_theta,
                 "mpvpe": mpvpe}

@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Training CLI — reference-compatible surface.
+
+ref: train.py (reference). Usage:
+
+  python train.py --cfg configs/repr_wopw_3dpw_model.yaml
+  python train.py --cfg ... --synthetic     # smoke-run on generated data
+
+The whole inner training loop (scheduled sampling, theta feedback, GAN
+updates over NUM_ITERS_PER_EPOCH sliding windows) runs as ONE device program
+per outer batch (tepose_tpu.train.trainer.make_train_segment).
+"""
+
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+
+def synthetic_loaders(cfg, seed=0):
+    """In-memory synthetic DBs wired through the real dataset/loader stack."""
+    from tests.test_datasets import synthetic_2d_db, synthetic_3d_db
+
+    rs = np.random.RandomState(seed)
+    vl = cfg.DATASET.VIDLEN
+    db3, pse3 = synthetic_3d_db(
+        rs, videos=tuple((vl + 10, f"v{i}") for i in range(6)))
+    db2, pse2 = synthetic_2d_db(
+        rs, clips=tuple((20, f"c{i}") for i in range(20)))
+    amass = {"vid_name": np.array(["m"] * 400),
+             "theta": rs.randn(400, 82).astype(np.float32) * 0.2}
+    over = {name: (db3, pse3) for name in
+            ("mpii3d", "h36m", "3dpw", "threedpw")}
+    over.update({"posetrack": (db2, pse2), "insta": (db2, pse2),
+                 "amass": (amass, None)})
+    from tepose_tpu.data.loaders import get_data_loaders
+
+    return get_data_loaders(cfg, db_overrides=over)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tepose_tpu.config import BASE_DATA_DIR, parse_args
+    from tepose_tpu.data.loaders import get_data_loaders
+    from tepose_tpu.models.gcn import motion_discriminator_init
+    from tepose_tpu.models.smpl import load_smpl_assets, synthetic_smpl_model
+    from tepose_tpu.models.tepose import TePoseConfig, tepose_init
+    from tepose_tpu.train.checkpoint import load_checkpoint
+    from tepose_tpu.train.fit import TrainLoop
+    from tepose_tpu.train.loss import LossWeights
+    from tepose_tpu.train.optim import make_optimizer
+    from tepose_tpu.train.trainer import TrainHyper, make_train_segment
+    from tepose_tpu.utils.logging import prepare_output_dir
+
+    synthetic = "--synthetic" in sys.argv
+    if synthetic:
+        sys.argv.remove("--synthetic")
+    smoke_iters = None
+    if "--smoke-iters" in sys.argv:
+        i = sys.argv.index("--smoke-iters")
+        smoke_iters = int(sys.argv[i + 1])
+        del sys.argv[i:i + 2]
+
+    cfg, cfg_file, args = parse_args()
+    logdir = prepare_output_dir(cfg, cfg_file)
+    if cfg.SEED_VALUE >= 0:
+        np.random.seed(cfg.SEED_VALUE)
+
+    # models ---------------------------------------------------------------
+    model_cfg = TePoseConfig(seqlen=cfg.DATASET.SEQLEN,
+                             n_layers=cfg.MODEL.TGRU.NUM_LAYERS,
+                             hidden_size=cfg.MODEL.TGRU.HIDDEN_SIZE)
+    smpl_npz = osp.join(BASE_DATA_DIR, "smpl_neutral.npz")
+    if osp.isfile(smpl_npz):
+        smpl = load_smpl_assets(smpl_npz)
+    elif synthetic:
+        smpl = synthetic_smpl_model(seed=0)
+    else:
+        raise FileNotFoundError(f"{smpl_npz} missing — see tools/convert_smpl")
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        gen_params = tepose_init(jax.random.PRNGKey(0), model_cfg)
+        gcn = cfg.TRAIN.MOT_DISCR.GCN
+        disc_params, disc_state = motion_discriminator_init(
+            jax.random.PRNGKey(1), num_class=gcn.num_class,
+            num_point=gcn.num_point, num_gcn_scales=gcn.num_gcn_scales,
+            num_g3d_scales=gcn.num_g3d_scales)
+
+    # warm-start the regressor from converted SPIN weights
+    # (ref: tepose.py:115-119)
+    if cfg.TRAIN.PRETRAINED_REGRESSOR and \
+            osp.isfile(cfg.TRAIN.PRETRAINED_REGRESSOR):
+        trees, _ = load_checkpoint(cfg.TRAIN.PRETRAINED_REGRESSOR)
+        reg = trees.get("gen", {}).get("regressor", {})
+        for k, v in reg.items():
+            gen_params["regressor"][k] = (
+                {kk: jnp.asarray(vv) for kk, vv in v.items()}
+                if isinstance(v, dict) else jnp.asarray(v))
+        print(f"=> loaded pretrained regressor from "
+              f"'{cfg.TRAIN.PRETRAINED_REGRESSOR}'")
+
+    # data -----------------------------------------------------------------
+    loaders = synthetic_loaders(cfg) if synthetic else get_data_loaders(cfg)
+
+    n_2d = int(round(cfg.TRAIN.BATCH_SIZE * cfg.TRAIN.DATA_2D_RATIO))
+    hp = TrainHyper(
+        seqlen=cfg.DATASET.SEQLEN, n_2d=n_2d,
+        n_3d=cfg.TRAIN.BATCH_SIZE - n_2d,
+        update_theta_rate=cfg.TRAIN.UPDATE_THETA_RATE,
+        disc_update_steps=cfg.TRAIN.MOT_DISCR.UPDATE_STEPS,
+        num_gcn_scales=cfg.TRAIN.MOT_DISCR.GCN.num_gcn_scales,
+        num_g3d_scales=cfg.TRAIN.MOT_DISCR.GCN.num_g3d_scales)
+
+    gen_tx = make_optimizer(cfg.TRAIN.GEN_OPTIM, cfg.TRAIN.GEN_LR,
+                            cfg.TRAIN.GEN_WD, cfg.TRAIN.GEN_MOMENTUM)
+    disc_tx = make_optimizer(cfg.TRAIN.MOT_DISCR.OPTIM, cfg.TRAIN.MOT_DISCR.LR,
+                             cfg.TRAIN.MOT_DISCR.WD,
+                             cfg.TRAIN.MOT_DISCR.MOMENTUM)
+    weights = LossWeights(kp_2d=cfg.LOSS.KP_2D_W, kp_3d=cfg.LOSS.KP_3D_W,
+                          pose=cfg.LOSS.POSE_W, shape=cfg.LOSS.SHAPE_W,
+                          d_motion=cfg.LOSS.D_MOTION_LOSS_W)
+
+    num_iters = smoke_iters or cfg.TRAIN.NUM_ITERS_PER_EPOCH
+    segment = make_train_segment(smpl, model_cfg, hp, gen_tx, disc_tx,
+                                 weights, num_iters)
+
+    jreg_path = osp.join(BASE_DATA_DIR, "J_regressor_h36m.npy")
+    if osp.isfile(jreg_path):
+        j_regressor = np.load(jreg_path).astype(np.float32)
+    else:
+        rs = np.random.RandomState(7)
+        j_regressor = (rs.rand(17, smpl.num_verts) ** 8).astype(np.float32)
+        j_regressor /= j_regressor.sum(1, keepdims=True)
+
+    loop = TrainLoop(cfg=cfg, train_segment=segment, smpl=smpl,
+                     model_cfg=model_cfg, hp=hp, gen_params=gen_params,
+                     disc_params=disc_params, disc_state=disc_state,
+                     gen_tx=gen_tx, disc_tx=disc_tx, loaders=loaders,
+                     j_regressor=j_regressor, logdir=logdir,
+                     num_iters_per_epoch=num_iters,
+                     seed=max(cfg.SEED_VALUE, 0))
+
+    # the reference consumes len(train_3d)/8 outer batches per epoch
+    # (trainer.py:147)
+    num_outer = max(1, len(loop.train_3d) // 8)
+    if synthetic:
+        num_outer = 1
+    loop.fit(cfg.TRAIN.END_EPOCH, num_outer)
+
+
+if __name__ == "__main__":
+    main()
