@@ -25,14 +25,21 @@ from tepose_tpu.utils.logging import AverageMeter, MetricWriter, create_logger
 
 class TrainLoop:
     """Host orchestration state; all heavy compute lives in the jitted
-    train_segment built by train.trainer.make_train_segment."""
+    packed train segment (train.trainer.make_packed_train_segment). The
+    training carry (params + optimiser states + BN state) lives on device as
+    flat packed buffers; the host only unpacks it for validation and
+    checkpointing (see utils.packing for why)."""
 
-    def __init__(self, *, cfg, train_segment, smpl, model_cfg, hp,
+    def __init__(self, *, cfg, segment_factory, smpl, model_cfg, hp,
                  gen_params, disc_params, disc_state, gen_tx, disc_tx,
                  loaders, j_regressor, logdir: str,
                  num_iters_per_epoch: int, seed: int = 0):
         self.cfg = cfg
-        self.segment = train_segment
+        self.segment_factory = segment_factory
+        self.segment = None           # built lazily at first batch
+        self.carry_packer = None
+        self.data_packer = None
+        self.carry_flats = None
         self.smpl = smpl
         self.model_cfg = model_cfg
         self.hp = hp
@@ -40,8 +47,9 @@ class TrainLoop:
         self.disc_params = disc_params
         self.disc_state = disc_state
         self.gen_tx, self.disc_tx = gen_tx, disc_tx
-        self.gen_opt = jax.jit(gen_tx.init)(gen_params)
-        self.disc_opt = jax.jit(disc_tx.init)(disc_params)
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            self.gen_opt = jax.jit(gen_tx.init)(gen_params)
+            self.disc_opt = jax.jit(disc_tx.init)(disc_params)
         self.train_2d, self.train_3d, self.disc_loader, self.valid = loaders
         self.j_regressor = j_regressor
         self.logdir = logdir
@@ -73,6 +81,36 @@ class TrainLoop:
             out[i] = batch[:batch_size]
         return out
 
+    def _ensure_segment(self, b2, b3, amass) -> None:
+        if self.segment is not None:
+            return
+        carry_template = (self.gen_params, self.disc_params, self.disc_state,
+                          self.gen_opt, self.disc_opt)
+        data_template = {"batch_2d": b2, "batch_3d": b3, "amass": amass}
+        self.segment, self.carry_packer, self.data_packer =             self.segment_factory(carry_template, data_template)
+        self.carry_flats = tuple(
+            jax.device_put(jnp.asarray(f))
+            for f in self.carry_packer.pack_np(carry_template))
+
+    def _push_carry_to_device(self) -> None:
+        """Re-pack the (possibly host-mutated) trees into the device carry —
+        needed after LR changes or checkpoint restore."""
+        if self.carry_packer is None:
+            return
+        carry = (self.gen_params, self.disc_params, self.disc_state,
+                 self.gen_opt, self.disc_opt)
+        self.carry_flats = tuple(
+            jax.device_put(jnp.asarray(f))
+            for f in self.carry_packer.pack_np(carry))
+
+    def _sync_carry_to_host(self) -> None:
+        """Fetch the device carry and refresh the host-side pytrees."""
+        if self.carry_flats is None:
+            return
+        flats = [np.asarray(f) for f in self.carry_flats]
+        (self.gen_params, self.disc_params, self.disc_state,
+         self.gen_opt, self.disc_opt) = self.carry_packer.unpack_np(flats)
+
     def train_epoch(self, epoch: int, num_outer: int) -> Dict[str, float]:
         it2d = iter(self.train_2d)
         it3d = iter(self.train_3d)
@@ -82,16 +120,20 @@ class TrainLoop:
         last_metrics = {}
 
         for i in range(num_outer):
-            b2 = {k: jnp.asarray(v) for k, v in next(it2d).items()}
-            b3 = {k: jnp.asarray(v) for k, v in next(it3d).items()}
-            amass = jnp.asarray(self._amass_windows(
-                itd, self.num_iters, self.hp.n_2d + self.hp.n_3d))
+            b2 = next(it2d)
+            b3 = next(it3d)
+            amass = self._amass_windows(
+                itd, self.num_iters, self.hp.n_2d + self.hp.n_3d)
+            self._ensure_segment(b2, b3, amass)
+            data_flats = tuple(
+                jnp.asarray(f) for f in self.data_packer.pack_np(
+                    {"batch_2d": b2, "batch_3d": b3, "amass": amass}))
             self.rng, k = jax.random.split(self.rng)
-            (self.gen_params, self.disc_params, self.disc_state,
-             self.gen_opt, self.disc_opt, metrics) = self.segment(
-                self.gen_params, self.disc_params, self.disc_state,
-                self.gen_opt, self.disc_opt, b2, b3, amass, k)
-            last_metrics = {k_: float(v) for k_, v in metrics.items()}
+            self.carry_flats, mvec = self.segment(self.carry_flats,
+                                                  data_flats, k)
+            mvec = np.asarray(mvec)
+            names = self.segment.metric_names()
+            last_metrics = dict(zip(names, mvec.tolist()))
             losses.update(last_metrics["gen_loss"])
             self.writer.add_scalars(last_metrics, self.global_step,
                                     prefix="train_loss/")
@@ -105,10 +147,12 @@ class TrainLoop:
         return last_metrics
 
     def validate(self) -> Dict[str, float]:
+        self._sync_carry_to_host()
+        gen = jax.tree_util.tree_map(jnp.asarray, self.gen_params)
         it = iter(self.valid)
         n_batches = len(self.valid)
         return validate_epoch(
-            self.gen_params, self.smpl, self.model_cfg,
+            gen, self.smpl, self.model_cfg,
             (next(it) for _ in range(n_batches)),
             self.j_regressor, self.hp.seqlen)
 
@@ -126,10 +170,13 @@ class TrainLoop:
                 " ".join(f"{k.upper()}: {v:.4f}," for k, v in
                          perf_dict.items()))
 
-            lr = self.gen_sched.step(performance, get_lr(self.gen_opt))
-            self.gen_opt = set_lr(self.gen_opt, lr)
+            old_lr = get_lr(self.gen_opt)
+            lr = self.gen_sched.step(performance, old_lr)
             dlr = self.disc_sched.step(performance, get_lr(self.disc_opt))
-            self.disc_opt = set_lr(self.disc_opt, dlr)
+            if lr != old_lr or dlr != get_lr(self.disc_opt):
+                self.gen_opt = set_lr(self.gen_opt, lr)
+                self.disc_opt = set_lr(self.disc_opt, dlr)
+                self._push_carry_to_device()
             self.writer.add_scalar("lr/gen_lr", lr, epoch)
             self.writer.add_scalar("lr/dis_lr", dlr, epoch)
 
@@ -139,6 +186,7 @@ class TrainLoop:
     # ---------------------------------------------------------------- ckpt
 
     def save(self, epoch: int, performance: float) -> None:
+        self._sync_carry_to_host()
         path = osp.join(self.logdir, "checkpoint.npz")
         ckpt.save_checkpoint(
             path,
@@ -178,6 +226,9 @@ class TrainLoop:
         if "gen_opt" in trees:
             self.gen_opt = _tree_to_opt(trees["gen_opt"], self.gen_opt)
             self.disc_opt = _tree_to_opt(trees["disc_opt"], self.disc_opt)
+        # force re-pack of the device carry from the restored host trees
+        self.segment = None
+        self.carry_flats = None
         self.start_epoch = int(scalars.get("epoch", -1)) + 1
         self.best_performance = float(scalars.get("performance",
                                                   float("inf")))

@@ -244,10 +244,8 @@ def make_train_segment(
         return (gen_params, disc_params, disc_state, gen_opt, disc_opt,
                 theta_buf, batch_2d, batch_3d), metrics
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
-    def train_segment(gen_params, disc_params, disc_state, gen_opt, disc_opt,
+    def _segment_body(gen_params, disc_params, disc_state, gen_opt, disc_opt,
                       batch_2d, batch_3d, amass_theta, rng):
-        B = hp.n_2d + hp.n_3d
         # init theta feedback from pseudo-thetas at j=0 (trainer.py:178-181)
         sel0 = batch_2d["switch_id"][:, :, S - 1]
         pseu2 = jnp.einsum("bc,bcsf->bsf", sel0,
@@ -267,4 +265,50 @@ def make_train_segment(
         return (gen_params, disc_params, disc_state, gen_opt, disc_opt,
                 metrics)
 
+    train_segment = functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))(
+        _segment_body)
+    train_segment.body = _segment_body
     return train_segment
+
+
+def make_packed_train_segment(smpl, model_cfg, hp, gen_tx, disc_tx, weights,
+                              num_iters, carry_template, data_template):
+    """Packed-IO variant of make_train_segment for the remote-TPU link.
+
+    The training carry (both nets' params, optimiser states, BN state —
+    hundreds of leaves) and the per-segment data batches travel as ONE buffer
+    per dtype (see utils.packing.FlatPacker): the tunnel charges ~150 ms per
+    used input buffer per call, so unpacked pytrees would cost minutes per
+    segment. The carry flats are donated, so params update in place on device.
+
+    Returns (fn, carry_packer, data_packer, metric_names) where
+      fn(carry_flats, data_flats, rng) -> (carry_flats, metrics_vector)
+      data = {"batch_2d": ..., "batch_3d": ..., "amass": ...}
+    """
+    from tepose_tpu.utils.packing import FlatPacker
+
+    base = make_train_segment(smpl, model_cfg, hp, gen_tx, disc_tx, weights,
+                              num_iters)
+    carry_packer = FlatPacker(carry_template)
+    data_packer = FlatPacker(data_template)
+
+    # fix the metric ordering once (dict insertion order of the body output)
+    metric_names_box = {}
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def packed(carry_flats, data_flats, rng):
+        gen_params, disc_params, disc_state, gen_opt, disc_opt =             carry_packer.unpack(carry_flats)
+        data = data_packer.unpack(data_flats)
+        out = base.body(gen_params, disc_params, disc_state, gen_opt,
+                        disc_opt, data["batch_2d"], data["batch_3d"],
+                        data["amass"], rng)
+        metrics = out[5]
+        metric_names_box.setdefault("names", sorted(metrics.keys()))
+        mvec = jnp.stack([metrics[k] for k in sorted(metrics.keys())])
+        return carry_packer.pack(out[:5]), mvec
+
+    def metric_names():
+        return metric_names_box.get("names")
+
+    packed.metric_names = metric_names
+    return packed, carry_packer, data_packer

@@ -80,6 +80,30 @@ class FlatPacker:
                 jax.lax.slice_in_dim(flat, off, off + size).reshape(shape))
         return jax.tree_util.tree_unflatten(self._treedef, leaves)
 
+    def pack_np(self, tree) -> tuple:
+        """Host-side pack with plain numpy (single device_put afterwards is
+        the caller's choice) — avoids one tunnel dispatch per leaf."""
+        leaves = jax.tree_util.tree_leaves(tree)
+        parts: Dict[np.dtype, list] = {k: [] for k in self._keys}
+        for leaf, dt, shape in zip(leaves, self._dtypes, self._shapes):
+            arr = np.asarray(leaf, dtype=dt)
+            assert arr.shape == shape, (arr.shape, shape)
+            parts[dt].append(arr.ravel())
+        return tuple(np.concatenate(parts[k]) if parts[k]
+                     else np.zeros((0,), k) for k in self._keys)
+
+    def unpack_np(self, flats) -> Any:
+        """Host-side unpack with plain numpy (no device dispatch) — for
+        checkpointing a device-fetched flat carry."""
+        if not isinstance(flats, (tuple, list)):
+            flats = (flats,)
+        by_dtype = dict(zip(self._keys, [np.asarray(f) for f in flats]))
+        leaves = []
+        for dt, shape, off in zip(self._dtypes, self._shapes, self._offsets):
+            size = int(np.prod(shape, dtype=np.int64)) if shape else 1
+            leaves.append(by_dtype[dt][off:off + size].reshape(shape))
+        return jax.tree_util.tree_unflatten(self._treedef, leaves)
+
 
 def pack_smpl(smpl) -> Dict[str, jnp.ndarray]:
     """The traced tensor fields of a SmplModel as a plain dict (the static

@@ -108,3 +108,61 @@ def test_lr_injection():
     # update still works after LR change
     upd, st = tx.update({"w": jnp.ones((3,))}, st, params)
     assert np.all(np.isfinite(np.asarray(upd["w"])))
+
+
+def test_packed_segment_matches_unpacked(rng):
+    """The flat-packed train segment must be numerically identical to the
+    pytree one (packing is pure data movement)."""
+    from tepose_tpu.train.trainer import make_packed_train_segment
+
+    hp = TrainHyper(seqlen=6, n_2d=2, n_3d=2, update_theta_rate=1.0,
+                    disc_update_steps=1, num_gcn_scales=2, num_g3d_scales=2)
+    model_cfg = TePoseConfig(seqlen=6, n_layers=1, hidden_size=16)
+    smpl = synthetic_smpl_model(seed=1, num_verts=48)
+
+    gen_params = tepose_init(jax.random.PRNGKey(0), model_cfg)
+    disc_params, disc_state = motion_discriminator_init(
+        jax.random.PRNGKey(1), num_gcn_scales=2, num_g3d_scales=2)
+    gen_tx = make_optimizer("adam", 1e-4)
+    disc_tx = make_optimizer("adam", 1e-4)
+    gen_opt = gen_tx.init(gen_params)
+    disc_opt = disc_tx.init(disc_params)
+
+    num_iters = 2
+    batch_2d, batch_3d = _tiny_batches(rng, hp, vidlen=12)
+    amass = jnp.asarray(
+        rng.randn(num_iters, 4, hp.seqlen, 85).astype(np.float32) * 0.1)
+    key = jax.random.PRNGKey(7)
+
+    carry_template = (gen_params, disc_params, disc_state, gen_opt, disc_opt)
+    data_template = {"batch_2d": batch_2d, "batch_3d": batch_3d,
+                     "amass": amass}
+    packed, carry_packer, data_packer = make_packed_train_segment(
+        smpl, model_cfg, hp, gen_tx, disc_tx, LossWeights(), num_iters,
+        carry_template, data_template)
+    # pack to host numpy BEFORE the donating plain call deletes the arrays
+    carry_flats = tuple(jnp.asarray(f)
+                        for f in carry_packer.pack_np(carry_template))
+    data_flats = tuple(jnp.asarray(f)
+                       for f in data_packer.pack_np(data_template))
+
+    plain = make_train_segment(smpl, model_cfg, hp, gen_tx, disc_tx,
+                               LossWeights(), num_iters)
+    out_plain = plain(gen_params, disc_params, disc_state, gen_opt, disc_opt,
+                      batch_2d, batch_3d, amass, key)
+    new_flats, mvec = packed(carry_flats, data_flats, key)
+    names = packed.metric_names()
+    packed_metrics = dict(zip(names, np.asarray(mvec).tolist()))
+
+    plain_metrics = {k: float(v) for k, v in out_plain[5].items()}
+    for k in plain_metrics:
+        np.testing.assert_allclose(packed_metrics[k], plain_metrics[k],
+                                   rtol=1e-4, err_msg=k)
+
+    # unpacked carry params equal the plain-path updated params
+    trees = carry_packer.unpack_np([np.asarray(f) for f in new_flats])
+    gp_packed = trees[0]
+    gp_plain = out_plain[0]
+    leaf_p = np.asarray(gp_packed["regressor"]["fc1"]["weight"])
+    leaf_q = np.asarray(gp_plain["regressor"]["fc1"]["weight"])
+    np.testing.assert_allclose(leaf_p, leaf_q, atol=1e-6)

@@ -53,7 +53,8 @@ def main():
     from tepose_tpu.train.fit import TrainLoop
     from tepose_tpu.train.loss import LossWeights
     from tepose_tpu.train.optim import make_optimizer
-    from tepose_tpu.train.trainer import TrainHyper, make_train_segment
+    from tepose_tpu.train.trainer import (
+        TrainHyper, make_packed_train_segment)
     from tepose_tpu.utils.logging import prepare_output_dir
 
     synthetic = "--synthetic" in sys.argv
@@ -126,8 +127,10 @@ def main():
                           d_motion=cfg.LOSS.D_MOTION_LOSS_W)
 
     num_iters = smoke_iters or cfg.TRAIN.NUM_ITERS_PER_EPOCH
-    segment = make_train_segment(smpl, model_cfg, hp, gen_tx, disc_tx,
-                                 weights, num_iters)
+    import functools
+    segment_factory = functools.partial(
+        make_packed_train_segment, smpl, model_cfg, hp, gen_tx, disc_tx,
+        weights, num_iters)
 
     jreg_path = osp.join(BASE_DATA_DIR, "J_regressor_h36m.npy")
     if osp.isfile(jreg_path):
@@ -137,7 +140,7 @@ def main():
         j_regressor = (rs.rand(17, smpl.num_verts) ** 8).astype(np.float32)
         j_regressor /= j_regressor.sum(1, keepdims=True)
 
-    loop = TrainLoop(cfg=cfg, train_segment=segment, smpl=smpl,
+    loop = TrainLoop(cfg=cfg, segment_factory=segment_factory, smpl=smpl,
                      model_cfg=model_cfg, hp=hp, gen_params=gen_params,
                      disc_params=disc_params, disc_state=disc_state,
                      gen_tx=gen_tx, disc_tx=disc_tx, loaders=loaders,
