@@ -1,0 +1,284 @@
+#!/usr/bin/env python
+"""In-the-wild video demo — reference-compatible surface.
+
+ref: demo.py (reference). Pipeline per person tracklet: bbox crops ->
+ResNet-50 features -> VIBE bootstrap -> TePose sliding-window streaming ->
+optional 1-euro smoothing -> mesh overlay render -> output video.
+
+  python demo.py --vid_file video.mp4 [--model ckpt.npz] [--smooth]
+                 [--sideview] [--render_plain] [--save_pkl] [--save_obj]
+                 [--detections dets.npz | --tracking_method pose
+                  --staf_dir <openpose json dir>]
+  python demo.py --synthetic          # smoke-run on a generated video
+
+Differences by design: the person detector is external (pass --detections
+with per-frame boxes from any detector, or OpenPose JSONs via
+--tracking_method pose); without either, a full-frame single-person tracklet
+is used. Rendering uses the built-in native rasterizer (no pyrender/EGL).
+"""
+
+import argparse
+import os
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+MIN_NUM_FRAMES = 25
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--vid_file", type=str, default="",
+                   help="input video path")
+    p.add_argument("--tracking_method", type=str, default="bbox",
+                   choices=["bbox", "pose"])
+    p.add_argument("--model", type=str,
+                   default="data/pretrained_models/tepose_wpw_3dpw_test.npz")
+    p.add_argument("--detections", type=str, default="",
+                   help="npz of precomputed detections/tracklets")
+    p.add_argument("--staf_dir", type=str, default="",
+                   help="folder of OpenPose keypoint JSONs (pose tracking)")
+    p.add_argument("--detector", type=str, default="none",
+                   help="accepted for CLI compat; use --detections instead")
+    p.add_argument("--yolo_img_size", type=int, default=416)
+    p.add_argument("--tracker_batch_size", type=int, default=12)
+    p.add_argument("--display", action="store_true")
+    p.add_argument("--save_pkl", action="store_true")
+    p.add_argument("--save_obj", action="store_true")
+    p.add_argument("--run_smplify", action="store_true")
+    p.add_argument("--gender", type=str, default="neutral")
+    p.add_argument("--wireframe", action="store_true")
+    p.add_argument("--sideview", action="store_true")
+    p.add_argument("--render_plain", action="store_true")
+    p.add_argument("--smooth", action="store_true")
+    p.add_argument("--smooth_min_cutoff", type=float, default=0.004)
+    p.add_argument("--smooth_beta", type=float, default=0.7)
+    p.add_argument("--gpu", type=int, default=0)
+    p.add_argument("--output_folder", type=str, default="output/demo")
+    p.add_argument("--synthetic", action="store_true",
+                   help="smoke-run on a generated video with random weights")
+    return p.parse_args()
+
+
+def make_synthetic_video(path: str, n_frames: int = 40,
+                         size=(240, 320)) -> None:
+    import cv2
+
+    h, w = size
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 25,
+                             (w, h))
+    rs = np.random.RandomState(0)
+    for t in range(n_frames):
+        frame = np.full((h, w, 3), 40, np.uint8)
+        cx = int(w / 2 + 40 * np.sin(t / 8))
+        cv2.circle(frame, (cx, h // 2), 40, (0, 180, 220), -1)
+        frame += rs.randint(0, 10, frame.shape).astype(np.uint8)
+        writer.write(frame)
+    writer.release()
+
+
+def main():
+    args = parse_args()
+
+    import jax
+
+    from tepose_tpu.config import BASE_DATA_DIR
+    from tepose_tpu.models.backbone import resnet50_init
+    from tepose_tpu.models.smpl import (
+        load_smpl_assets, load_smpl_faces, synthetic_smpl_model)
+    from tepose_tpu.models.tepose import (
+        TePoseConfig, VibeConfig, tepose_init, vibe_init)
+    from tepose_tpu.native import crop_normalize, render_mesh
+    from tepose_tpu.ops.filters import smooth_pose_params
+    from tepose_tpu.streaming import demo_utils as D
+    from tepose_tpu.streaming.engine import StreamingEngine
+    from tepose_tpu.streaming.tracker import (
+        detect_people_simple, load_detections_npz, load_pose_tracklets)
+    from tepose_tpu.train.checkpoint import load_checkpoint
+
+    total_time_start = time.time()
+
+    # ---- input video -------------------------------------------------------
+    if args.synthetic and not args.vid_file:
+        os.makedirs(args.output_folder, exist_ok=True)
+        args.vid_file = osp.join(args.output_folder, "synthetic_input.mp4")
+        make_synthetic_video(args.vid_file)
+    if not osp.isfile(args.vid_file):
+        sys.exit(f"input video {args.vid_file!r} does not exist!")
+
+    frames = list(D.read_video_frames(args.vid_file))
+    num_frames = len(frames)
+    fps_in = D.video_fps(args.vid_file)
+    orig_h, orig_w = frames[0].shape[:2]
+    print(f"Input video {args.vid_file}: {num_frames} frames "
+          f"{orig_w}x{orig_h} @ {fps_in:.1f} fps")
+
+    # ---- tracking ----------------------------------------------------------
+    if args.detections:
+        tracklets = load_detections_npz(args.detections, num_frames)
+    elif args.tracking_method == "pose" and args.staf_dir:
+        tracklets = load_pose_tracklets(args.staf_dir)
+    else:
+        print("No detector output provided; using a full-frame tracklet "
+              "(pass --detections for multi-person footage)")
+        tracklets = detect_people_simple(frames[0].shape, num_frames)
+    tracklets = {k: v for k, v in tracklets.items()
+                 if len(v["frames"]) >= MIN_NUM_FRAMES}
+    print(f"Tracking yielded {len(tracklets)} tracklet(s)")
+
+    # ---- models ------------------------------------------------------------
+    mcfg = TePoseConfig(seqlen=6, n_layers=2, hidden_size=1024)
+    vcfg = VibeConfig(seqlen=16, n_layers=2, hidden_size=1024,
+                      add_linear=True)
+    smpl_npz = osp.join(BASE_DATA_DIR, f"smpl_{args.gender}.npz")
+    if osp.isfile(smpl_npz):
+        smpl = load_smpl_assets(smpl_npz)
+        faces = load_smpl_faces(smpl_npz)
+    elif args.synthetic:
+        smpl = synthetic_smpl_model(seed=0)
+        # icosphere-ish random faces are useless; build a coarse convex hull
+        from scipy.spatial import ConvexHull
+
+        pts = np.asarray(smpl.v_template)
+        faces = ConvexHull(pts).simplices.astype(np.int32)
+    else:
+        sys.exit(f"{smpl_npz} missing — convert your SMPL model with "
+                 "tools/convert_smpl.py (or --synthetic to smoke-run)")
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    if args.synthetic or not osp.isfile(args.model):
+        if not args.synthetic:
+            sys.exit(f"{args.model} is not a pretrained model!")
+        with jax.default_device(cpu):
+            tepose_params = tepose_init(jax.random.PRNGKey(0), mcfg)
+            vibe_params = vibe_init(jax.random.PRNGKey(1), vcfg)
+            backbone_params = resnet50_init(jax.random.PRNGKey(2))
+    else:
+        tepose_params = load_checkpoint(args.model)[0]["gen"]
+        spin_npz = osp.join(BASE_DATA_DIR, "spin_model_checkpoint.npz")
+        vibe_npz = osp.join(BASE_DATA_DIR, "vibe_wo_3dpw.npz")
+        for pth in (spin_npz, vibe_npz):
+            if not osp.isfile(pth):
+                sys.exit(f"{pth} missing — run tools/convert_checkpoint.py")
+        backbone_params = load_checkpoint(spin_npz)[0]["backbone"]
+        vibe_params = load_checkpoint(vibe_npz)[0]["gen"]
+
+    engine = StreamingEngine(smpl, tepose_params, vibe_params,
+                             backbone_params, mcfg, vcfg)
+
+    # ---- per-tracklet streaming -------------------------------------------
+    stream_time_start = time.time()
+    results = {}
+    total_pred_frames = 0
+    for pid, tr in tracklets.items():
+        bboxes = tr["bbox"].copy()
+        # square crops, like the reference's bbox scale handling
+        side = np.maximum(bboxes[:, 2], bboxes[:, 3])
+        sq = np.stack([bboxes[:, 0], bboxes[:, 1], side, side], axis=1)
+
+        crops = []
+        for local_i, f_idx in enumerate(tr["frames"]):
+            crops.append(crop_normalize(frames[int(f_idx)],
+                                        sq[local_i:local_i + 1])[0])
+        crops = np.stack(crops)
+
+        feats = engine.extract_features(crops)
+        out = engine.run_tracklet(feats)
+        total_pred_frames += len(feats)
+
+        pred_theta = out["theta"]
+        pred_verts = out["verts"]
+        if args.smooth:
+            from tepose_tpu.models.smpl import smpl_forward
+            from tepose_tpu.ops.geometry import batch_rodrigues
+            import jax.numpy as jnp
+
+            pose_s, betas_s = smooth_pose_params(
+                pred_theta[:, 3:75].astype(np.float64),
+                pred_theta[:, 75:].astype(np.float64),
+                args.smooth_min_cutoff, args.smooth_beta)
+            rot = batch_rodrigues(
+                jnp.asarray(pose_s.reshape(-1, 3),
+                            jnp.float32)).reshape(-1, 24, 3, 3)
+            sm = smpl_forward(smpl, jnp.asarray(betas_s, jnp.float32), rot)
+            pred_verts = np.asarray(sm["verts"])
+            pred_theta = pred_theta.copy()
+            pred_theta[:, 3:75] = pose_s
+            pred_theta[:, 75:] = betas_s
+
+        cam = pred_theta[:, :3]
+        bbox_ch = np.stack([sq[:, 0], sq[:, 1], sq[:, 2] * 1.2], axis=1)
+        orig_cam = D.convert_crop_cam_to_orig_img(
+            cam, bbox_ch, orig_w, orig_h)
+        results[pid] = {
+            "pred_cam": cam,
+            "orig_cam": orig_cam,
+            "verts": pred_verts,
+            "pose": pred_theta[:, 3:75],
+            "betas": pred_theta[:, 75:],
+            "joints3d": out["kp_3d"],
+            "kp_2d": out["kp_2d"],
+            "bboxes": bbox_ch,
+            "frame_ids": tr["frames"],
+        }
+    stream_time = time.time() - stream_time_start
+    print(f"TePose FPS: {total_pred_frames / max(stream_time, 1e-9):.2f} "
+          f"(features {engine.timings['features']:.1f}s, "
+          f"stream {engine.timings['stream']:.1f}s)")
+
+    os.makedirs(args.output_folder, exist_ok=True)
+    base = osp.splitext(osp.basename(args.vid_file))[0]
+
+    if args.save_pkl:
+        import joblib
+
+        pkl_path = osp.join(args.output_folder, f"tepose_{base}_output.pkl")
+        joblib.dump(results, pkl_path)
+        print(f"Saved results to {pkl_path}")
+
+    # ---- rendering ---------------------------------------------------------
+    frame_results = D.prepare_rendering_results(results, num_frames)
+    out_frames = []
+    for f_idx in range(num_frames):
+        img = (np.zeros_like(frames[f_idx]) if args.render_plain
+               else frames[f_idx].copy())
+        for pid, pd in frame_results[f_idx].items():
+            img = render_mesh(pd["verts"], faces, pd["cam"], img)
+            if args.sideview:
+                side_img = np.zeros_like(img)
+                rot90 = np.array([[0, 0, -1], [0, 1, 0], [1, 0, 0]],
+                                 np.float32)
+                side_verts = pd["verts"] @ rot90.T
+                side_img = render_mesh(side_verts, faces, pd["cam"],
+                                       side_img)
+                img = np.concatenate([img, side_img], axis=1)
+        out_frames.append(img)
+        if args.save_obj and f_idx in results.get(0, {}).get("frame_ids", []):
+            pass  # per-frame objs saved below
+
+    if args.save_obj:
+        obj_dir = osp.join(args.output_folder, f"{base}_obj")
+        os.makedirs(obj_dir, exist_ok=True)
+        for pid, pd in results.items():
+            for i, f_idx in enumerate(pd["frame_ids"][:5]):
+                path = osp.join(obj_dir, f"p{pid}_f{int(f_idx):06d}.obj")
+                with open(path, "w") as f:
+                    for v in pd["verts"][i]:
+                        f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+                    for tri in faces + 1:
+                        f.write(f"f {tri[0]} {tri[1]} {tri[2]}\n")
+
+    out_path = osp.join(args.output_folder, f"tepose_{base}_result.mp4")
+    D.write_video(out_frames, out_path, fps_in)
+    print(f"Saved result video to {osp.abspath(out_path)}")
+    total = time.time() - total_time_start
+    print(f"Total FPS (including model loading): "
+          f"{num_frames / total:.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,185 @@
+// tepose_native: host-side native kernels for the streaming pipeline.
+//
+// Replaces the reference's external native dependencies on the hot host path:
+//   * pyrender/EGL offscreen mesh rendering (ref: lib/utils/renderer.py) ->
+//     a z-buffered flat-shaded software rasterizer with weak-perspective
+//     projection and alpha compositing over the input frame.
+//   * OpenCV warpAffine bbox crops (ref: lib/data_utils/_img_utils.py:88-101)
+//     -> a multithreaded bilinear affine crop + ImageNet normalisation that
+//     writes the (3, H, W) float32 tensor the backbone consumes.
+//
+// Built as a plain shared library (no pybind11; see tepose_tpu/native/
+// __init__.py for the ctypes bindings and the build-on-demand logic).
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Rasterizer
+// ---------------------------------------------------------------------------
+
+// Render a triangle mesh over an RGB uint8 image in place.
+//  verts:  (n_verts, 3) float32, SMPL/world coords (y up, z toward viewer)
+//  faces:  (n_faces, 3) int32 vertex indices
+//  cam:    (4,) float32 weak-perspective (sx, sy, tx, ty) — pixel mapping
+//          px = (1 + sx*(x+tx)) * w/2, py = (1 + sy*(-y+ty)) * h/2
+//          (the y flip mirrors the reference's 180-degree mesh rotation,
+//           ref: renderer.py:72-79)
+//  image:  (h, w, 3) uint8, modified in place
+//  color:  (3,) float32 in [0,1]
+//  alpha:  mesh opacity
+void render_mesh(const float* verts, int n_verts, const int32_t* faces,
+                 int n_faces, const float* cam, uint8_t* image, int h, int w,
+                 const float* color, float alpha) {
+  std::vector<float> px(n_verts), py(n_verts), pz(n_verts);
+  const float sx = cam[0], sy = cam[1], tx = cam[2], ty = cam[3];
+  for (int i = 0; i < n_verts; ++i) {
+    const float x = verts[3 * i], y = verts[3 * i + 1], z = verts[3 * i + 2];
+    px[i] = (1.f + sx * (x + tx)) * 0.5f * w;
+    py[i] = (1.f + sy * (-y + ty)) * 0.5f * h;
+    pz[i] = -z;  // camera looks along -z after the flip; smaller = closer
+  }
+
+  std::vector<float> zbuf(static_cast<size_t>(h) * w, 1e30f);
+  std::vector<float> shade(static_cast<size_t>(h) * w, -1.f);
+
+  // fixed light: head-on plus a bit from the top-left
+  const float lx = -0.3f, ly = -0.5f, lz = -0.8f;
+  const float lnorm = std::sqrt(lx * lx + ly * ly + lz * lz);
+
+  for (int f = 0; f < n_faces; ++f) {
+    const int a = faces[3 * f], b = faces[3 * f + 1], c = faces[3 * f + 2];
+    const float x0 = px[a], y0 = py[a], z0 = pz[a];
+    const float x1 = px[b], y1 = py[b], z1 = pz[b];
+    const float x2 = px[c], y2 = py[c], z2 = pz[c];
+
+    const int xmin = std::max(0, (int)std::floor(std::min({x0, x1, x2})));
+    const int xmax = std::min(w - 1, (int)std::ceil(std::max({x0, x1, x2})));
+    const int ymin = std::max(0, (int)std::floor(std::min({y0, y1, y2})));
+    const int ymax = std::min(h - 1, (int)std::ceil(std::max({y0, y1, y2})));
+    if (xmin > xmax || ymin > ymax) continue;
+
+    const float denom = (y1 - y2) * (x0 - x2) + (x2 - x1) * (y0 - y2);
+    if (std::fabs(denom) < 1e-12f) continue;
+    const float inv_denom = 1.f / denom;
+
+    // face normal in world coords for flat shading
+    const float ux = verts[3 * b] - verts[3 * a];
+    const float uy = verts[3 * b + 1] - verts[3 * a + 1];
+    const float uz = verts[3 * b + 2] - verts[3 * a + 2];
+    const float vx = verts[3 * c] - verts[3 * a];
+    const float vy = verts[3 * c + 1] - verts[3 * a + 1];
+    const float vz = verts[3 * c + 2] - verts[3 * a + 2];
+    float nx = uy * vz - uz * vy;
+    float ny = uz * vx - ux * vz;
+    float nz = ux * vy - uy * vx;
+    const float nn = std::sqrt(nx * nx + ny * ny + nz * nz) + 1e-12f;
+    nx /= nn; ny /= nn; nz /= nn;
+    float diff = (nx * lx + ny * ly + nz * lz) / lnorm;
+    if (diff < 0) diff = -diff;  // double-sided
+    const float s = 0.35f + 0.65f * diff;
+
+    for (int y = ymin; y <= ymax; ++y) {
+      for (int x = xmin; x <= xmax; ++x) {
+        const float w0 =
+            ((y1 - y2) * (x - x2) + (x2 - x1) * (y - y2)) * inv_denom;
+        const float w1 =
+            ((y2 - y0) * (x - x2) + (x0 - x2) * (y - y2)) * inv_denom;
+        const float w2 = 1.f - w0 - w1;
+        if (w0 < 0 || w1 < 0 || w2 < 0) continue;
+        const float z = w0 * z0 + w1 * z1 + w2 * z2;
+        const size_t idx = static_cast<size_t>(y) * w + x;
+        if (z < zbuf[idx]) {
+          zbuf[idx] = z;
+          shade[idx] = s;
+        }
+      }
+    }
+  }
+
+  for (int y = 0; y < h; ++y) {
+    for (int x = 0; x < w; ++x) {
+      const size_t idx = static_cast<size_t>(y) * w + x;
+      if (shade[idx] < 0) continue;
+      uint8_t* p = image + 3 * idx;
+      for (int ch = 0; ch < 3; ++ch) {
+        const float mesh = 255.f * color[ch] * shade[idx];
+        const float out = alpha * mesh + (1.f - alpha) * p[ch];
+        p[ch] = (uint8_t)std::min(255.f, std::max(0.f, out));
+      }
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Affine crops
+// ---------------------------------------------------------------------------
+
+// Crop-and-normalise a batch of bboxes from one RGB uint8 frame.
+//  image:  (h, w, 3) uint8
+//  bboxes: (n, 4) float32 — (cx, cy, bw, bh); box is scaled by `scale`
+//  out:    (n, 3, out_size, out_size) float32, ImageNet-normalised
+void crop_normalize(const uint8_t* image, int h, int w, const float* bboxes,
+                    int n, int out_size, float scale, float* out) {
+  static const float kMean[3] = {0.485f, 0.456f, 0.406f};
+  static const float kStd[3] = {0.229f, 0.224f, 0.225f};
+
+  int n_threads = std::min<int>(n, std::thread::hardware_concurrency());
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int> next(0);
+
+  auto worker = [&]() {
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) return;
+      const float cx = bboxes[4 * i], cy = bboxes[4 * i + 1];
+      const float bw = bboxes[4 * i + 2] * scale;
+      const float bh = bboxes[4 * i + 3] * scale;
+      // patch (px, py) -> image coords (matching data.transforms.patch_affine
+      // inverted: img = center + (p/out - 0.5) * box)
+      const float step_x = bw / out_size, step_y = bh / out_size;
+      const float x0 = cx - bw * 0.5f + 0.5f * step_x;
+      const float y0 = cy - bh * 0.5f + 0.5f * step_y;
+      float* dst = out + static_cast<size_t>(i) * 3 * out_size * out_size;
+      for (int py = 0; py < out_size; ++py) {
+        const float sy_img = y0 + py * step_y;
+        for (int pxi = 0; pxi < out_size; ++pxi) {
+          const float sx_img = x0 + pxi * step_x;
+          float rgb[3] = {0, 0, 0};
+          if (sx_img >= 0 && sx_img <= w - 1 && sy_img >= 0 &&
+              sy_img <= h - 1) {
+            const int ix = (int)sx_img, iy = (int)sy_img;
+            const float fx = sx_img - ix, fy = sy_img - iy;
+            const int ix1 = std::min(ix + 1, w - 1);
+            const int iy1 = std::min(iy + 1, h - 1);
+            for (int ch = 0; ch < 3; ++ch) {
+              const float v00 = image[(iy * (size_t)w + ix) * 3 + ch];
+              const float v01 = image[(iy * (size_t)w + ix1) * 3 + ch];
+              const float v10 = image[(iy1 * (size_t)w + ix) * 3 + ch];
+              const float v11 = image[(iy1 * (size_t)w + ix1) * 3 + ch];
+              rgb[ch] = (1 - fy) * ((1 - fx) * v00 + fx * v01) +
+                        fy * ((1 - fx) * v10 + fx * v11);
+            }
+          }
+          for (int ch = 0; ch < 3; ++ch) {
+            dst[(ch * (size_t)out_size + py) * out_size + pxi] =
+                (rgb[ch] / 255.f - kMean[ch]) / kStd[ch];
+          }
+        }
+      }
+    }
+  };
+
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+}
+
+}  // extern "C"

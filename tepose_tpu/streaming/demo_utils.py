@@ -1,0 +1,122 @@
+"""Host-side demo plumbing: video IO and camera/coordinate conversions.
+
+ref: lib/utils/demo_utils.py:181-295. Video decode/encode prefers OpenCV
+(in-process, no temp jpgs) with an ffmpeg-subprocess fallback matching the
+reference's pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+import subprocess
+from collections import OrderedDict
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+
+def read_video_frames(path: str) -> Iterator[np.ndarray]:
+    """Yield RGB uint8 frames (cv2-based; ref decodes to jpgs via ffmpeg,
+    demo_utils.py:181-203)."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise FileNotFoundError(f"cannot open video {path}")
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        yield cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+    cap.release()
+
+
+def video_fps(path: str) -> float:
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    cap.release()
+    return float(fps)
+
+
+def write_video(frames: List[np.ndarray], out_path: str,
+                fps: float = 30.0) -> None:
+    """Encode RGB frames to mp4 (cv2 VideoWriter, ffmpeg fallback;
+    ref: demo_utils.py:229-238)."""
+    import cv2
+
+    os.makedirs(osp.dirname(out_path) or ".", exist_ok=True)
+    h, w = frames[0].shape[:2]
+    fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+    writer = cv2.VideoWriter(out_path, fourcc, fps, (w, h))
+    if writer.isOpened():
+        for f in frames:
+            writer.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+        writer.release()
+        return
+    # ffmpeg fallback via image sequence
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        for i, f in enumerate(frames):
+            cv2.imwrite(osp.join(td, f"{i:06d}.png"),
+                        cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+        subprocess.run(
+            ["ffmpeg", "-y", "-framerate", str(fps), "-i",
+             osp.join(td, "%06d.png"), "-pix_fmt", "yuv420p", out_path],
+            check=True, capture_output=True)
+
+
+def convert_crop_cam_to_orig_img(cam: np.ndarray, bbox: np.ndarray,
+                                 img_width: int,
+                                 img_height: int) -> np.ndarray:
+    """Weak-perspective cam in crop coords -> original-image coords.
+
+    ref: demo_utils.py:241-258. cam (N, 3) = (s, tx, ty); bbox (N, 4) with
+    (cx, cy, h, ...) — the square crop side is bbox[:, 2].
+    Returns (N, 4) = (sx, sy, tx, ty).
+    """
+    cx, cy, h = bbox[:, 0], bbox[:, 1], bbox[:, 2]
+    hw, hh = img_width / 2.0, img_height / 2.0
+    sx = cam[:, 0] * (1.0 / (img_width / h))
+    sy = cam[:, 0] * (1.0 / (img_height / h))
+    tx = ((cx - hw) / hw / sx) + cam[:, 1]
+    ty = ((cy - hh) / hh / sy) + cam[:, 2]
+    return np.stack([sx, sy, tx, ty], axis=-1)
+
+
+def convert_crop_coords_to_orig_img(bbox: np.ndarray, keypoints: np.ndarray,
+                                    crop_size: int = 224) -> np.ndarray:
+    """Normalised crop keypoints [-1,1] -> original image pixels.
+
+    ref: demo_utils.py:261-274.
+    """
+    cx, cy, h = bbox[:, 0], bbox[:, 1], bbox[:, 2]
+    kp = 0.5 * crop_size * (keypoints + 1.0)
+    kp = kp * (h[..., None, None] / crop_size)
+    kp[:, :, 0] = (cx - h / 2)[..., None] + kp[:, :, 0]
+    kp[:, :, 1] = (cy - h / 2)[..., None] + kp[:, :, 1]
+    return kp
+
+
+def prepare_rendering_results(results: Dict, nframes: int) -> List[Dict]:
+    """Regroup per-person results by frame, depth-ordered by cam y-scale.
+
+    ref: demo_utils.py:277-295.
+    """
+    frame_results: List[Dict] = [{} for _ in range(nframes)]
+    for person_id, person_data in results.items():
+        for idx, frame_id in enumerate(person_data["frame_ids"]):
+            frame_results[int(frame_id)][person_id] = {
+                "verts": person_data["verts"][idx],
+                "cam": person_data["orig_cam"][idx],
+                "bbox": person_data["bboxes"][idx],
+            }
+    for frame_id, frame_data in enumerate(frame_results):
+        keys = list(frame_data.keys())
+        sort_idx = np.argsort([frame_data[k]["cam"][1] for k in keys])
+        frame_results[frame_id] = OrderedDict(
+            (keys[i], frame_data[keys[i]]) for i in sort_idx)
+    return frame_results

@@ -1,0 +1,169 @@
+"""The live-stream inference engine: crops -> features -> windowed scan.
+
+ref: demo.py:161-260 (per-tracklet pipeline: CropDataset -> hmr
+feature_extractor -> VIBE bootstrap -> sequential TePose windows) and
+SURVEY.md §5 (host->HBM double buffering north star).
+
+TPU-first design:
+  * the ResNet-50 feature extractor and the TePose window scan are two jitted
+    programs with all weights flat-packed into a single device buffer each
+    (see utils.packing — the remote link charges per input buffer);
+  * bbox crops are produced by the native C++ cropper (tepose_tpu.native)
+    directly into the pinned numpy array that feeds the device, while the
+    previous batch is in flight (double buffering);
+  * tracklet lengths are bucketed to bounded padded shapes so the scan
+    compiles a handful of programs regardless of video length.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tepose_tpu.models.smpl import SmplModel
+from tepose_tpu.models.tepose import (
+    TePoseConfig, VibeConfig, tepose_apply, vibe_apply)
+from tepose_tpu.models.backbone import resnet50_features
+from tepose_tpu.utils.packing import FlatPacker, pack_smpl, unpack_smpl
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+class StreamingEngine:
+    """Per-tracklet streaming inference with device-resident weights."""
+
+    def __init__(self, smpl: SmplModel, tepose_params, vibe_params,
+                 backbone_params, model_cfg: TePoseConfig,
+                 vibe_cfg: VibeConfig, crop_batch: int = 32,
+                 window_bucket: int = 64):
+        self.smpl = smpl
+        self.model_cfg = model_cfg
+        self.vibe_cfg = vibe_cfg
+        self.crop_batch = crop_batch
+        self.window_bucket = window_bucket
+        self.timings: Dict[str, float] = {"features": 0.0, "stream": 0.0}
+
+        # ---- packed weights ------------------------------------------------
+        bb_template = backbone_params
+        self._bb_packer = FlatPacker(bb_template)
+        self._bb_flats = tuple(
+            jax.device_put(jnp.asarray(f))
+            for f in self._bb_packer.pack_np(bb_template))
+
+        gen_template = (tepose_params, vibe_params, pack_smpl(smpl))
+        self._gen_packer = FlatPacker(gen_template)
+        self._gen_flats = tuple(
+            jax.device_put(jnp.asarray(f))
+            for f in self._gen_packer.pack_np(gen_template))
+
+        bbp = self._bb_packer
+
+        @jax.jit
+        def features_fn(flats, crops):
+            params = bbp.unpack(flats)
+            return resnet50_features(params, crops)
+
+        self._features_fn = features_fn
+        self._stream_fns: Dict[int, callable] = {}
+
+    # ------------------------------------------------------------------ feats
+
+    def extract_features(self, crops: np.ndarray) -> np.ndarray:
+        """(N, 3, 224, 224) float32 crops -> (N, 2048) features, batched with
+        double buffering (next host batch prepared while device works)."""
+        t0 = time.time()
+        N = len(crops)
+        B = self.crop_batch
+        out = np.zeros((N, 2048), np.float32)
+        pending = []
+        for i in range(0, N, B):
+            chunk = crops[i:i + B]
+            if len(chunk) < B:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((B - len(chunk),) + chunk.shape[1:],
+                                     np.float32)])
+            feats = self._features_fn(self._bb_flats, jnp.asarray(chunk))
+            pending.append((i, min(B, N - i), feats))
+            # drain early to bound in-flight memory, keep 2 in flight
+            if len(pending) > 2:
+                j, n, f = pending.pop(0)
+                out[j:j + n] = np.asarray(f)[:n]
+        for j, n, f in pending:
+            out[j:j + n] = np.asarray(f)[:n]
+        self.timings["features"] += time.time() - t0
+        return out
+
+    # ----------------------------------------------------------------- stream
+
+    def _get_stream_fn(self, T_pad: int):
+        if T_pad in self._stream_fns:
+            return self._stream_fns[T_pad]
+        S = self.model_cfg.seqlen
+        W = T_pad - S + 1
+        packer = self._gen_packer
+        smpl_template = self.smpl
+        mcfg, vcfg = self.model_cfg, self.vibe_cfg
+
+        @jax.jit
+        def stream(flats, feats, theta_pseu):
+            tepose_params, vibe_params, smpl_t = packer.unpack(flats)
+            model = unpack_smpl(smpl_template, smpl_t)
+
+            vibe_out = vibe_apply(vibe_params, model, feats[:, :S], vcfg)
+            boot = {k: vibe_out[k][:, :S - 1]
+                    for k in ("theta", "verts", "kp_3d", "kp_2d")}
+
+            def step(buf, k):
+                win = jax.lax.dynamic_slice_in_dim(feats, k, S, axis=1)
+                fb = jnp.concatenate(
+                    [buf, jnp.zeros_like(buf[:, :1])], axis=1)
+                out = tepose_apply(tepose_params, model,
+                                   jnp.concatenate([win, fb], -1), mcfg)
+                th = out["theta"]
+                return (jnp.concatenate([buf[:, 1:], th[:, None]], 1),
+                        (th, out["verts"], out["kp_3d"], out["kp_2d"]))
+
+            _, (th, verts, j3d, kp2d) = jax.lax.scan(
+                step, theta_pseu, jnp.arange(W))
+            # (W, B, ...) -> (B, W, ...), concat after bootstrap frames
+            cat = lambda b, s: jnp.concatenate(
+                [b, jnp.swapaxes(s, 0, 1)], axis=1)
+            return {
+                "theta": cat(boot["theta"], th),
+                "verts": cat(boot["verts"], verts),
+                "kp_3d": cat(boot["kp_3d"], j3d),
+                "kp_2d": cat(boot["kp_2d"], kp2d),
+            }
+
+        self._stream_fns[T_pad] = stream
+        return stream
+
+    def run_tracklet(self, features: np.ndarray,
+                     theta_pseu: Optional[np.ndarray] = None
+                     ) -> Dict[str, np.ndarray]:
+        """features (T, 2048) -> per-frame dict (T, ...) of theta/verts/
+        kp_3d/kp_2d. The theta buffer bootstraps from `theta_pseu`
+        ((S-1, 85)) or zeros with identity cam."""
+        t0 = time.time()
+        S = self.model_cfg.seqlen
+        T = len(features)
+        if T < S:
+            raise ValueError(f"tracklet too short: {T} < seqlen {S}")
+        T_pad = _round_up(T, self.window_bucket)
+        feats = np.zeros((1, T_pad, 2048), np.float32)
+        feats[0, :T] = features
+        if theta_pseu is None:
+            theta_pseu = np.zeros((S - 1, 85), np.float32)
+            theta_pseu[:, 0] = 1.0
+        fn = self._get_stream_fn(T_pad)
+        out = fn(self._gen_flats, jnp.asarray(feats),
+                 jnp.asarray(theta_pseu[None]))
+        result = {k: np.asarray(v[0, :T]) for k, v in out.items()}
+        self.timings["stream"] += time.time() - t0
+        return result
