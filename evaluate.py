@@ -140,18 +140,23 @@ def run_eval(cfg, args, synthetic: bool = False):
     for n in names:
         buckets.setdefault(bucket(n), []).append(n)
 
+    from tepose_tpu.eval.evaluator import make_packed_eval_scan
+    from tepose_tpu.utils.packing import FlatPacker, pack_smpl
+
     acc = EvalAccumulator(dataset=dataset)
     eval_fns = {}
-    jreg = jnp.asarray(j_regressor)
     tot_frames = 0
     t_start = time.time()
+
+    # pack the fixed weights once (see utils.packing for why)
+    weights_template = (gen, vibe, pack_smpl(smpl), j_regressor)
+    weights_packer = FlatPacker(weights_template)
+    weight_flats = tuple(jnp.asarray(f)
+                         for f in weights_packer.pack_np(weights_template))
 
     MAX_B = 8
     for T_pad, vids in sorted(buckets.items()):
         W = T_pad - S + 1
-        if W not in eval_fns:
-            eval_fns[W] = make_eval_scan(smpl, mcfg, vcfg, W, use_jreg)
-        fn = eval_fns[W]
         for i in range(0, len(vids), MAX_B):
             chunk = vids[i:i + MAX_B]
             B = len(chunk)
@@ -166,11 +171,20 @@ def run_eval(cfg, args, synthetic: bool = False):
                 theta_gt[b, :L, :3] = [1.0, 0.0, 0.0]
                 theta_gt[b, :L, 3:75] = d["pose"][:L]
                 theta_gt[b, :L, 75:] = d["shape"][:L]
-            out = fn(gen, vibe, jnp.asarray(feats), jnp.asarray(pseu),
-                     jnp.asarray(theta_gt), jreg)
-            pred_j3d = np.asarray(out["pred_j3d"])
-            pred_theta = np.asarray(out["pred_theta"])
-            mpvpe = np.asarray(out["mpvpe"])
+            data_batch = {"feats": feats, "theta_pseu": pseu,
+                          "theta_gt": theta_gt}
+            key = (W, B)
+            if key not in eval_fns:
+                dp = FlatPacker(data_batch)
+                eval_fns[key] = (make_packed_eval_scan(
+                    smpl, mcfg, vcfg, W, use_jreg, weights_packer, dp), dp)
+            fn, dp = eval_fns[key]
+            data_flats = tuple(jnp.asarray(f)
+                               for f in dp.pack_np(data_batch))
+            pj, pt, mp = fn(weight_flats, data_flats)
+            pred_j3d = np.asarray(pj)
+            pred_theta = np.asarray(pt)
+            mpvpe = np.asarray(mp)
 
             for b, n in enumerate(chunk):
                 d = data[n]

@@ -1,0 +1,88 @@
+"""Offline preprocessing primitives: per-frame feature extraction.
+
+ref: lib/data_utils/_feature_extractor.py:30-114 — runs the frozen SPIN
+ResNet-50 over bbox crops to produce the (N, 2048) feature tracks stored in
+every DB. Here the backbone runs on TPU with flat-packed weights; crops come
+from the native C++ cropper.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tepose_tpu.models.backbone import resnet50_features
+from tepose_tpu.native import crop_normalize
+from tepose_tpu.utils.packing import FlatPacker
+
+
+class FeatureExtractor:
+    """Batched crop -> ResNet-50 feature pipeline with device-resident
+    weights (one packed buffer; see utils.packing)."""
+
+    def __init__(self, backbone_params: Dict, batch_size: int = 32,
+                 crop_size: int = 224):
+        self.batch_size = batch_size
+        self.crop_size = crop_size
+        self._packer = FlatPacker(backbone_params)
+        self._flats = tuple(
+            jax.device_put(jnp.asarray(f))
+            for f in self._packer.pack_np(backbone_params))
+        packer = self._packer
+
+        @jax.jit
+        def fn(flats, crops):
+            return resnet50_features(packer.unpack(flats), crops)
+
+        self._fn = fn
+
+    def features_from_crops(self, crops: np.ndarray) -> np.ndarray:
+        """(N, 3, S, S) float32 -> (N, 2048)."""
+        N = len(crops)
+        B = self.batch_size
+        out = np.zeros((N, 2048), np.float32)
+        for i in range(0, N, B):
+            chunk = crops[i:i + B]
+            n = len(chunk)
+            if n < B:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((B - n,) + chunk.shape[1:],
+                                     np.float32)])
+            out[i:i + n] = np.asarray(
+                self._fn(self._flats, jnp.asarray(chunk)))[:n]
+        return out
+
+    def extract_from_images(self, image_paths: Sequence[str],
+                            bboxes: np.ndarray, scale: float = 1.3,
+                            augment_fn=None) -> np.ndarray:
+        """Image files + (N, 4) cxcywh bboxes -> (N, 2048) features.
+
+        ref: _feature_extractor.py:30-114 (scale=1.3 crop like the reference
+        extract_features default for DB building). `augment_fn(img) -> img`
+        runs on the full frame before cropping — the hook the `*_occ` DB
+        variants use (data.occlusion.occlude_with_objects).
+        """
+        import cv2
+
+        crops = np.zeros((len(image_paths), 3, self.crop_size,
+                          self.crop_size), np.float32)
+        for i, path in enumerate(image_paths):
+            img = cv2.cvtColor(cv2.imread(str(path)), cv2.COLOR_BGR2RGB)
+            if augment_fn is not None:
+                img = augment_fn(img)
+            crops[i] = crop_normalize(img, bboxes[i:i + 1],
+                                      self.crop_size, scale)[0]
+        return self.features_from_crops(crops)
+
+    def extract_from_frames(self, frames: Sequence[np.ndarray],
+                            bboxes: np.ndarray,
+                            scale: float = 1.3) -> np.ndarray:
+        """In-memory RGB frames + bboxes -> features."""
+        crops = np.stack([
+            crop_normalize(frames[i], bboxes[i:i + 1], self.crop_size,
+                           scale)[0]
+            for i in range(len(frames))])
+        return self.features_from_crops(crops)

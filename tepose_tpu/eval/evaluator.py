@@ -38,17 +38,9 @@ from tepose_tpu.models.tepose import (
 from tepose_tpu.data.kp_utils import perm_idxs
 
 
-def make_eval_scan(smpl: SmplModel, model_cfg: TePoseConfig,
-                   vibe_cfg: VibeConfig, num_windows: int,
-                   use_j_regressor: bool):
-    """Build the jitted batched eval function for videos padded to
-    T = num_windows + seqlen - 1 frames.
-
-    Returns fn(gen_params, vibe_params, feats (B,T,2048),
-               theta_pseu (B,S-1,85), theta_gt (B,T,85), j_regressor)
-      -> dict with pred_j3d (B,T,K,3), pred_theta (B,T,85),
-         mpvpe (B,T) per-frame vertex error vs GT-theta SMPL rebuild.
-    """
+def _eval_fn_body(smpl: SmplModel, model_cfg: TePoseConfig,
+                  vibe_cfg: VibeConfig, num_windows: int,
+                  use_j_regressor: bool):
     S = model_cfg.seqlen
 
     def eval_fn(gen_params, vibe_params, feats, theta_pseu, theta_gt,
@@ -104,7 +96,56 @@ def make_eval_scan(smpl: SmplModel, model_cfg: TePoseConfig,
         return {"pred_j3d": pred_j3d, "pred_theta": pred_theta,
                 "mpvpe": mpvpe}
 
-    return jax.jit(eval_fn)
+    return eval_fn
+
+
+def make_eval_scan(smpl: SmplModel, model_cfg: TePoseConfig,
+                   vibe_cfg: VibeConfig, num_windows: int,
+                   use_j_regressor: bool):
+    """Build the jitted batched eval function for videos padded to
+    T = num_windows + seqlen - 1 frames.
+
+    Returns fn(gen_params, vibe_params, feats (B,T,2048),
+               theta_pseu (B,S-1,85), theta_gt (B,T,85), j_regressor)
+      -> dict with pred_j3d (B,T,K,3), pred_theta (B,T,85),
+         mpvpe (B,T) per-frame vertex error vs GT-theta SMPL rebuild.
+    """
+    return jax.jit(_eval_fn_body(smpl, model_cfg, vibe_cfg, num_windows,
+                                 use_j_regressor))
+
+
+def make_packed_eval_scan(smpl: SmplModel, model_cfg: TePoseConfig,
+                          vibe_cfg: VibeConfig, num_windows: int,
+                          use_j_regressor: bool, weights_packer,
+                          data_packer):
+    """Packed-IO variant for the remote-TPU link (see utils.packing): weights
+    = (gen_params, vibe_params, smpl tensors, j_regressor) in one buffer,
+    data = {feats, theta_pseu, theta_gt} in another; outputs flattened into
+    one buffer unpacked host-side with `out_packer` (returned).
+
+    Returns (fn(weight_flats, data_flats) -> out_flats, out_packer_factory)
+    where out_packer_factory() gives the FlatPacker for the outputs after the
+    first call shapes are known. Simpler: outputs are returned as a tuple
+    (pred_j3d, pred_theta, mpvpe) — 3 buffers, acceptable.
+    """
+    from tepose_tpu.utils.packing import unpack_smpl
+
+    base = make_eval_scan.__wrapped__ if hasattr(make_eval_scan, "__wrapped__")         else None
+
+    S = model_cfg.seqlen
+
+    @jax.jit
+    def fn(weight_flats, data_flats):
+        gen, vibe, smpl_t, jreg = weights_packer.unpack(weight_flats)
+        model = unpack_smpl(smpl, smpl_t)
+        data = data_packer.unpack(data_flats)
+        inner = _eval_fn_body(model, model_cfg, vibe_cfg, num_windows,
+                              use_j_regressor)
+        out = inner(gen, vibe, data["feats"], data["theta_pseu"],
+                    data["theta_gt"], jreg)
+        return out["pred_j3d"], out["pred_theta"], out["mpvpe"]
+
+    return fn
 
 
 @dataclasses.dataclass

@@ -79,37 +79,54 @@ def smooth_pose_params(pred_pose: np.ndarray, pred_betas: np.ndarray,
 
 
 def kp_to_bbox_param(kp: np.ndarray, vis_thresh: float = 0.3,
-                     person_height: float = 150.0) -> Optional[np.ndarray]:
-    """Keypoints (K, 3) -> (cx, cy, scale) with 150px-person scaling.
+                     person_height_px: float = 150.0):
+    """Keypoints (K, 3) -> (cx, cy, scale) or None.
 
-    ref: smooth_bbox.py:36-59 (get_bbox_params equivalent).
+    ref: smooth_bbox.py:36-59 — person height is the DIAGONAL norm of the
+    visible-keypoint extent; boxes smaller than 0.5 px are rejected; scale
+    maps the person to 150 px.
     """
+    if kp is None:
+        return None
     vis = kp[:, 2] > vis_thresh
     if not np.any(vis):
         return None
-    pts = kp[vis, :2]
-    lo, hi = pts.min(axis=0), pts.max(axis=0)
-    center = (lo + hi) / 2.0
-    height = float((hi - lo).max())
-    if height <= 0:
+    min_pt = np.min(kp[vis, :2], axis=0)
+    max_pt = np.max(kp[vis, :2], axis=0)
+    height = float(np.linalg.norm(max_pt - min_pt))
+    if height < 0.5:
         return None
-    scale = person_height / height
-    return np.array([center[0], center[1], scale], np.float32)
+    center = (min_pt + max_pt) / 2.0
+    return np.append(center, person_height_px / height).astype(np.float32)
 
 
-def interpolate_missing(params: np.ndarray,
-                        present: np.ndarray) -> np.ndarray:
-    """Linearly interpolate bbox params over missing detections.
+def get_all_bbox_params(kps, vis_thresh: float = 2.0):
+    """Per-frame bbox params with interior-gap linear interpolation.
 
-    ref: smooth_bbox.py:62-103. params (T, 3); present (T,) bool.
+    ref: smooth_bbox.py:62-103. Returns (params (M, 3), start_idx incl,
+    end_idx excl) — the contiguous interval that has detections.
     """
-    out = params.copy()
-    idx = np.flatnonzero(present)
-    if len(idx) == 0:
-        return out
-    for c in range(params.shape[1]):
-        out[:, c] = np.interp(np.arange(len(params)), idx, params[idx, c])
-    return out
+    num_to_interp = 0
+    start_index = -1
+    params = np.empty((0, 3), np.float32)
+    i = -1
+    for i, kp in enumerate(kps):
+        p = kp_to_bbox_param(kp, vis_thresh=vis_thresh)
+        if p is None:
+            num_to_interp += 1
+            continue
+        if start_index == -1:
+            start_index = i
+            num_to_interp = 0
+        if num_to_interp > 0:
+            prev = params[-1]
+            interp = np.array(
+                [np.linspace(a, b, num_to_interp + 2)
+                 for a, b in zip(prev, p)])
+            params = np.vstack((params, interp.T[1:-1]))
+            num_to_interp = 0
+        params = np.vstack((params, p))
+    return params, start_index, i - num_to_interp + 1
 
 
 def smooth_bbox_params(params: np.ndarray, kernel_size: int = 11,
@@ -117,9 +134,8 @@ def smooth_bbox_params(params: np.ndarray, kernel_size: int = 11,
     """Median + gaussian filter over (T, 3) bbox params
     (ref: smooth_bbox.py:106-121)."""
     k = kernel_size if kernel_size % 2 == 1 else kernel_size + 1
-    k = min(k, len(params) if len(params) % 2 == 1 else len(params) - 1)
     out = params.copy().astype(np.float64)
-    if k >= 3:
+    if len(params) >= k >= 3:
         for c in range(params.shape[1]):
             out[:, c] = medfilt(out[:, c], k)
     for c in range(params.shape[1]):
@@ -127,22 +143,22 @@ def smooth_bbox_params(params: np.ndarray, kernel_size: int = 11,
     return out.astype(np.float32)
 
 
-def get_smooth_bbox_params(kps: np.ndarray, vis_thresh: float = 0.3,
-                           kernel_size: int = 11,
-                           sigma: float = 8.0) -> Tuple[np.ndarray, np.ndarray]:
-    """Full pipeline: per-frame kp->bbox, interpolate gaps, smooth.
+def get_smooth_bbox_params(kps, vis_thresh: float = 0.3,
+                           kernel_size: int = 11, sigma: float = 8.0):
+    """Full pipeline: kp->bbox per frame, interpolate interior gaps, smooth.
 
-    kps (T, K, 3) -> (bbox_params (T, 3), present mask (T,)).
-    ref: smooth_bbox.py:9-121.
+    Returns (smoothed params (M, 3), start_idx, end_idx) like the reference's
+    get_smooth_bbox_params (used by the DB builders, threedpw_utils.py:118).
     """
-    T = len(kps)
-    params = np.zeros((T, 3), np.float32)
-    present = np.zeros(T, bool)
-    for t in range(T):
-        p = kp_to_bbox_param(kps[t], vis_thresh)
-        if p is not None:
-            params[t] = p
-            present[t] = True
-    params = interpolate_missing(params, present)
-    params = smooth_bbox_params(params, kernel_size, sigma)
-    return params, present
+    params, t0, t1 = get_all_bbox_params(kps, vis_thresh)
+    if len(params) == 0:
+        return params, t0, t1
+    return smooth_bbox_params(params, kernel_size, sigma), t0, t1
+
+
+def bbox_params_to_cxcywh(params: np.ndarray,
+                          expand: float = 1.1) -> np.ndarray:
+    """(cx, cy, scale) -> (cx, cy, w, h) with the reference's 150px scaling
+    and 1.1 expansion (ref: threedpw_utils.py:128-134)."""
+    w = 150.0 / params[:, 2] * expand
+    return np.stack([params[:, 0], params[:, 1], w, w], axis=1)

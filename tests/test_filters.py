@@ -81,10 +81,16 @@ def test_bbox_pipeline(rng):
     for t in range(T):
         kps[t, :, :2] = centers[t] + rng.randn(K, 2) * 20
         kps[t, :, 2] = 1.0
-    kps[10:13, :, 2] = 0.0  # missing detections
-    params, present = F.get_smooth_bbox_params(kps)
-    assert params.shape == (T, 3)
-    assert not present[11]
+    kps[10:13, :, 2] = 0.0   # interior gap -> interpolated
+    kps[:2, :, 2] = 0.0      # leading gap -> trimmed by the interval
+    kps[-3:, :, 2] = 0.0     # trailing gap -> trimmed
+    params, t0, t1 = F.get_smooth_bbox_params(kps)
+    assert t0 == 2 and t1 == T - 3
+    assert params.shape == (t1 - t0, 3)
     assert np.all(np.isfinite(params))
     # smoothed center x should increase roughly monotonically
     assert params[-1, 0] > params[0, 0]
+    # cxcywh conversion uses the 150px scaling + 1.1 expansion
+    boxes = F.bbox_params_to_cxcywh(params)
+    np.testing.assert_allclose(boxes[:, 2], 150.0 / params[:, 2] * 1.1,
+                               rtol=1e-6)

