@@ -1,0 +1,72 @@
+"""Tests for vis, profiling, logging utilities."""
+
+import os
+
+import numpy as np
+
+from tepose_tpu.utils.logging import AverageMeter, MetricWriter
+from tepose_tpu.utils.profiling import NaNGuard, StageTimer
+from tepose_tpu.utils.vis import batch_visualize_vid_preds, draw_skeleton
+
+
+def test_draw_skeleton(rng):
+    img = np.zeros((224, 224, 3), np.uint8)
+    kp = rng.uniform(-0.8, 0.8, (49, 3)).astype(np.float32)
+    kp[:, 2] = 1.0
+    out = draw_skeleton(img, kp)
+    assert out.sum() > 0  # something was drawn
+
+
+def test_batch_visualize_grid(rng):
+    video = rng.randint(0, 255, (2, 3, 64, 64, 3)).astype(np.uint8)
+    preds = {"kp_2d": rng.uniform(-0.5, 0.5, (2, 3, 49, 2))}
+    target = {"kp_2d": rng.uniform(-0.5, 0.5, (2, 3, 49, 3))}
+    grid = batch_visualize_vid_preds(video, preds, target, faces=None)
+    assert grid.shape == (3, 64, 128, 3)
+
+
+def test_stage_timer():
+    t = StageTimer()
+    with t.stage("a"):
+        pass
+    with t.stage("a"):
+        pass
+    with t.stage("b"):
+        pass
+    s = t.summary()
+    assert s["a"]["count"] == 2
+    assert "a:" in t.report()
+
+
+def test_nan_guard():
+    g = NaNGuard(patience=2)
+    assert g.check(1.0, 0)
+    assert g.check(float("nan"), 1)     # 1 consecutive < 2
+    assert not g.check(float("nan"), 2)  # budget exhausted
+    assert g.should_rollback
+    assert g.last_good_step == 0
+    # recovery resets
+    g2 = NaNGuard(patience=2)
+    g2.check(float("nan"), 0)
+    assert g2.check(1.0, 1)
+    assert g2.check(float("inf"), 2)
+
+
+def test_metric_writer(tmp_path):
+    w = MetricWriter(str(tmp_path))
+    w.add_scalar("loss", 1.5, 0)
+    w.add_scalars({"a": 1.0, "b": 2.0}, 1, prefix="x/")
+    w.close()
+    lines = open(os.path.join(str(tmp_path), "metrics.jsonl")).readlines()
+    assert len(lines) == 3
+    import json
+
+    rec = json.loads(lines[0])
+    assert rec["tag"] == "loss" and rec["value"] == 1.5
+
+
+def test_average_meter():
+    m = AverageMeter()
+    m.update(2.0, n=2)
+    m.update(4.0)
+    assert abs(m.avg - (2 * 2 + 4) / 3) < 1e-9
