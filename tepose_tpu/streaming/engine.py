@@ -26,8 +26,9 @@ import numpy as np
 
 from tepose_tpu.models.smpl import SmplModel
 from tepose_tpu.models.tepose import (
-    TePoseConfig, VibeConfig, tepose_apply, vibe_apply)
+    TePoseConfig, VibeConfig, vibe_apply)
 from tepose_tpu.models.backbone import resnet50_features
+from tepose_tpu.streaming.fast_scan import fast_stream_scan
 from tepose_tpu.utils.packing import FlatPacker, pack_smpl, unpack_smpl
 
 
@@ -119,27 +120,13 @@ class StreamingEngine:
             boot = {k: vibe_out[k][:, :S - 1]
                     for k in ("theta", "verts", "kp_3d", "kp_2d")}
 
-            def step(buf, k):
-                win = jax.lax.dynamic_slice_in_dim(feats, k, S, axis=1)
-                fb = jnp.concatenate(
-                    [buf, jnp.zeros_like(buf[:, :1])], axis=1)
-                out = tepose_apply(tepose_params, model,
-                                   jnp.concatenate([win, fb], -1), mcfg)
-                th = out["theta"]
-                return (jnp.concatenate([buf[:, 1:], th[:, None]], 1),
-                        (th, out["verts"], out["kp_3d"], out["kp_2d"]))
-
-            _, (th, verts, j3d, kp2d) = jax.lax.scan(
-                step, theta_pseu, jnp.arange(W))
-            # (W, B, ...) -> (B, W, ...), concat after bootstrap frames
-            cat = lambda b, s: jnp.concatenate(
-                [b, jnp.swapaxes(s, 0, 1)], axis=1)
-            return {
-                "theta": cat(boot["theta"], th),
-                "verts": cat(boot["verts"], verts),
-                "kp_3d": cat(boot["kp_3d"], j3d),
-                "kp_2d": cat(boot["kp_2d"], kp2d),
-            }
+            # lane-batched fast scan — ~3x lower latency at small batch
+            # (see streaming/fast_scan.py for measurements)
+            scanned = fast_stream_scan(
+                tepose_params, model, feats, theta_pseu, mcfg, W,
+                outputs=("theta", "verts", "kp_3d", "kp_2d"))
+            return {k: jnp.concatenate([boot[k], scanned[k]], axis=1)
+                    for k in boot}
 
         self._stream_fns[T_pad] = stream
         return stream

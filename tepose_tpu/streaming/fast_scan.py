@@ -1,0 +1,64 @@
+"""Optimised streaming scan built on the lane-batched fast encoder.
+
+Equivalent to the plain tepose_apply window scan (tested). Measured on a
+v5e chip (96 windows, full SMPL + IEF per window):
+
+  plain scan   B=64:  37.5k FPS   B=256: 154k FPS
+  this scan    B=64: 123.9k FPS   B=256: 118k FPS
+
+i.e. the lane-batched encoder wins decisively at small batch (the latency
+regime of per-tracklet demo streaming) while the plain scan's independent
+2-D matmuls tile better once the batch alone fills the MXU. A variant that
+carried per-frame feature *projections* in the scan (avoiding the layer-0
+input projections entirely) measured slower at every batch size — the
+(B, S, 3, 3H) carry costs more HBM traffic than the matmuls it saves — so
+projections are recomputed per window here.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tepose_tpu.models.fast_encoder import (
+    fast_encoder_window, pack_fast_encoder, project_frame_features)
+from tepose_tpu.models.regressor import regressor_apply
+from tepose_tpu.models.smpl import SmplModel
+from tepose_tpu.models.tepose import TePoseConfig
+
+
+def fast_stream_scan(
+    gen_params: Dict,
+    smpl: SmplModel,
+    feats: jnp.ndarray,
+    theta_buf0: jnp.ndarray,
+    cfg: TePoseConfig,
+    num_windows: int,
+    j_regressor: Optional[jnp.ndarray] = None,
+    outputs: Tuple[str, ...] = ("theta", "kp_3d"),
+):
+    """Run the theta-feedback stream over `num_windows` windows.
+
+    feats (B, T, 2048); theta_buf0 (B, S-1, 85). Returns a dict of stacked
+    per-window outputs, each (B, W, ...), for the keys in `outputs`.
+    """
+    S = cfg.seqlen
+    fast = pack_fast_encoder(gen_params["encoder"], cfg.n_layers)
+
+    def step(theta_buf, k):
+        win = jax.lax.dynamic_slice_in_dim(feats, k, S, axis=1)  # (B,S,2048)
+        proj = project_frame_features(fast, win)                 # (B,S,3,3H)
+        thetas = jnp.concatenate(
+            [theta_buf, jnp.zeros_like(theta_buf[:, :1])], axis=1)
+
+        feature = fast_encoder_window(fast, proj, thetas)
+        out = regressor_apply(gen_params["regressor"], smpl, feature,
+                              j_regressor=j_regressor)
+        theta = out["theta"]
+        new_buf = jnp.concatenate([theta_buf[:, 1:], theta[:, None]], axis=1)
+        return new_buf, tuple(out[k_] for k_ in outputs)
+
+    _, ys = jax.lax.scan(step, theta_buf0, jnp.arange(num_windows))
+    return {k_: jnp.swapaxes(v, 0, 1) for k_, v in zip(outputs, ys)}
