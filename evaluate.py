@@ -219,6 +219,12 @@ def run_eval(cfg, args, synthetic: bool = False):
                 elif tgt.shape[1] == 49:
                     tgt = convert_kps(tgt, "spin", "common")
 
+                if args.plot:
+                    from tepose_tpu.eval.metrics import plot_accel
+
+                    out_dir = f"./output/{dataset}_test_output"
+                    plot_accel(pj, tgt, out_dir, name=args.seq or n)
+
                 acc.add_video(
                     pj, tgt,
                     mpvpe=mpvpe[b, :L] if dataset == "3dpw" else None,

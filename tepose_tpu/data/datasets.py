@@ -305,3 +305,82 @@ def Human36M(load_opt, split, seqlen, vidlen, **kw):
 
 def PoseTrack(load_opt, seqlen, vidlen, **kw):
     return Dataset2D(load_opt, seqlen, vidlen, "posetrack", **kw)
+
+
+class MultipleDatasets:
+    """Uniform-sampling concat: each __getitem__ draws from a random member
+    dataset (ref: loaders.py:24-58 MultipleDatasets; the reference currently
+    bypasses it in favour of plain concatenation, both are provided)."""
+
+    def __init__(self, datasets, make_same_len: bool = True, seed: int = 0):
+        self.datasets = list(datasets)
+        self.make_same_len = make_same_len
+        self.max_len = max(len(d) for d in self.datasets)
+        self._rng = np.random.RandomState(seed)
+
+    def __len__(self) -> int:
+        if self.make_same_len:
+            return self.max_len * len(self.datasets)
+        return sum(len(d) for d in self.datasets)
+
+    def __getitem__(self, index: int):
+        if self.make_same_len:
+            ds = self.datasets[index // self.max_len]
+            return ds[int(self._rng.randint(len(ds)))]
+        for ds in self.datasets:
+            if index < len(ds):
+                return ds[index]
+            index -= len(ds)
+        raise IndexError(index)
+
+
+def ThreeDPW_TEST(load_opt, seqlen, vidlen=520, **kw):
+    """Full-video 3DPW test items (ref: threedpw_test.py:33)."""
+    return Dataset3D(load_opt, "val", seqlen, vidlen, "3dpw", **kw)
+
+
+def Human36M_VAL(load_opt, seqlen, vidlen=520, **kw):
+    """Full-video H36M validation items (ref: h36m_val.py:33)."""
+    return Dataset3D(load_opt, "val", seqlen, vidlen, "h36m", **kw)
+
+
+class CropDataset:
+    """Per-frame bbox crops for the demo feature extractor
+    (ref: dataset_demo.py:29-75). frames: list of RGB arrays (or a callable
+    frame_idx -> array); bboxes (T, 4) cxcywh."""
+
+    def __init__(self, frames, bboxes: np.ndarray, frame_ids=None,
+                 scale: float = 1.2, crop_size: int = 224):
+        self.frames = frames
+        self.bboxes = np.asarray(bboxes, np.float32)
+        self.frame_ids = (np.arange(len(self.bboxes))
+                          if frame_ids is None else np.asarray(frame_ids))
+        self.scale = scale
+        self.crop_size = crop_size
+
+    def __len__(self) -> int:
+        return len(self.bboxes)
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        from tepose_tpu.native import crop_normalize
+
+        frame = (self.frames(int(self.frame_ids[idx]))
+                 if callable(self.frames)
+                 else self.frames[int(self.frame_ids[idx])])
+        return crop_normalize(frame, self.bboxes[idx:idx + 1],
+                              self.crop_size, self.scale)[0]
+
+
+class FeatureDataset:
+    """Sliding seqlen-windows over a precomputed feature track
+    (ref: dataset_demo.py:78-108)."""
+
+    def __init__(self, features: np.ndarray, seqlen: int):
+        self.features = np.asarray(features, np.float32)
+        self.seqlen = seqlen
+
+    def __len__(self) -> int:
+        return max(0, len(self.features) - self.seqlen + 1)
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        return self.features[idx:idx + self.seqlen]

@@ -160,3 +160,21 @@ def normalize_crop(x: jnp.ndarray) -> jnp.ndarray:
     mean = jnp.asarray(IMAGENET_MEAN)[None, :, None, None]
     std = jnp.asarray(IMAGENET_STD)[None, :, None, None]
     return (x - mean) / std
+
+
+def hmr_forward(backbone_params: Dict, regressor_params: Dict, smpl,
+                images: jnp.ndarray, n_iter: int = 3,
+                return_features: bool = False):
+    """Full single-frame HMR: image crops -> SMPL outputs.
+
+    ref: lib/models/spin.py:143-206 (HMR.forward): ResNet-50 features + the
+    3-iteration IEF head + SMPL + weak-perspective projection.
+    images (B, 3, 224, 224) normalised crops.
+    """
+    from tepose_tpu.models.regressor import regressor_apply
+
+    xf = resnet50_features(backbone_params, images)
+    out = regressor_apply(regressor_params, smpl, xf, n_iter=n_iter)
+    if return_features:
+        return xf, out
+    return out

@@ -18,6 +18,35 @@ from tepose_tpu.models import layers as L
 INPUT_DIM = 2048 + 85  # features + theta feedback (ref: tepose.py:54)
 
 
+def temporal_attention_init(rng: jax.Array, attention_size: int,
+                            seq_len: int) -> Dict:
+    """Soft temporal attention scorer (ref: tepose.py:11-41).
+
+    NOTE: defined but UNUSED by the reference's forward pass — provided for
+    checkpoint/API parity only.
+    """
+    ks = jax.random.split(rng, 4)
+    return {
+        "fc": L.linear_init(ks[0], attention_size, 256),
+        "attention": [
+            L.linear_init(ks[1], 256 * seq_len, 256),
+            L.linear_init(ks[2], 256, 256),
+            L.linear_init(ks[3], 256, seq_len),
+        ],
+    }
+
+
+def temporal_attention_apply(params: Dict, x: jnp.ndarray,
+                             non_linearity: str = "tanh") -> jnp.ndarray:
+    """x (B, T, F) -> per-frame attention scores (B, T)."""
+    act = jnp.tanh if non_linearity == "tanh" else jax.nn.relu
+    B = x.shape[0]
+    h = L.linear(params["fc"], x).reshape(B, -1)
+    for lin in params["attention"]:
+        h = act(L.linear(lin, h))
+    return jax.nn.softmax(h, axis=-1)
+
+
 def temporal_encoder_init(rng: jax.Array, n_layers: int = 1,
                           hidden_size: int = 2048,
                           input_size: int = INPUT_DIM) -> Dict:

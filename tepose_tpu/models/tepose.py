@@ -130,3 +130,25 @@ def vibe_apply(
     out = regressor_apply(params["regressor"], smpl, feature,
                           j_regressor=j_regressor)
     return {k: v.reshape((B, T) + v.shape[1:]) for k, v in out.items()}
+
+
+def vibe_demo_apply(
+    params: Dict,
+    backbone_params: Dict,
+    smpl: SmplModel,
+    images: jnp.ndarray,
+    cfg: VibeConfig,
+    *,
+    j_regressor=None,
+) -> Dict[str, jnp.ndarray]:
+    """VIBE over raw image crops: inline ResNet-50 feature extraction first.
+
+    ref: vibe.py:120-179 (VIBE_Demo.forward). images (B, T, 3, 224, 224).
+    """
+    from tepose_tpu.models.backbone import resnet50_features
+
+    B, T = images.shape[:2]
+    feats = resnet50_features(
+        backbone_params, images.reshape((B * T,) + images.shape[2:]))
+    return vibe_apply(params, smpl, feats.reshape(B, T, -1), cfg,
+                      j_regressor=j_regressor)

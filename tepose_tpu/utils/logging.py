@@ -93,3 +93,23 @@ class AverageMeter:
         self.sum += val * n
         self.count += n
         self.avg = self.sum / max(self.count, 1)
+
+
+def import_class(name: str):
+    """Dotted-path import (ref: utils.py:203-208)."""
+    import importlib
+
+    module, cls = name.rsplit(".", 1)
+    return getattr(importlib.import_module(module), cls)
+
+
+def move_dict_to_device(d, device=None):
+    """Place every array value on `device` (ref: utils.py:48-54)."""
+    import jax
+    import jax.numpy as jnp
+
+    for k, v in d.items():
+        if hasattr(v, "shape"):
+            d[k] = (jax.device_put(jnp.asarray(v), device)
+                    if device is not None else jnp.asarray(v))
+    return d
