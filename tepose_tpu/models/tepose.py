@@ -37,11 +37,17 @@ from tepose_tpu.models.temporal import (
 
 @dataclasses.dataclass(frozen=True)
 class TePoseConfig:
-    """Static hyperparameters (ref: configs/repr_*.yaml MODEL.TGRU)."""
+    """Static hyperparameters (ref: configs/repr_*.yaml MODEL.TGRU).
+
+    `fast_encoder` routes the forward through models.fast_encoder (lane-
+    batched GRUs, numerically equivalent — see that module's measurements);
+    best at small/medium batch, which includes the training batch of 32.
+    """
 
     seqlen: int = 6
     n_layers: int = 2
     hidden_size: int = 1024
+    fast_encoder: bool = False
 
 
 def tepose_init(rng: jax.Array, cfg: TePoseConfig,
@@ -71,8 +77,16 @@ def tepose_apply(
     Train shapes have an extra repeat axis of 2 after batch.
     """
     B = x.shape[0]
-    feature = temporal_encoder_apply(params["encoder"], x, cfg.n_layers,
-                                     train=train)
+    if cfg.fast_encoder:
+        from tepose_tpu.models.fast_encoder import (
+            fast_encoder_window, pack_fast_encoder, project_frame_features)
+
+        fast = pack_fast_encoder(params["encoder"], cfg.n_layers)
+        proj = project_frame_features(fast, x[..., :2048])
+        feature = fast_encoder_window(fast, proj, x[..., 2048:], train=train)
+    else:
+        feature = temporal_encoder_apply(params["encoder"], x, cfg.n_layers,
+                                         train=train)
     feature = feature.reshape(-1, feature.shape[-1])  # (B | 2B, 2048)
 
     out = regressor_apply(params["regressor"], smpl, feature, train=train,

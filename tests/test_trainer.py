@@ -166,3 +166,84 @@ def test_packed_segment_matches_unpacked(rng):
     leaf_p = np.asarray(gp_packed["regressor"]["fc1"]["weight"])
     leaf_q = np.asarray(gp_plain["regressor"]["fc1"]["weight"])
     np.testing.assert_allclose(leaf_p, leaf_q, atol=1e-6)
+
+
+def test_trainloop_fit_and_resume(rng, tmp_path):
+    """One epoch through TrainLoop, checkpoint, then resume restores state."""
+    import functools
+
+    from tepose_tpu.config import get_cfg_defaults
+    from tepose_tpu.data.loaders import get_data_loaders
+    from tepose_tpu.train.fit import TrainLoop
+    from tepose_tpu.train.trainer import make_packed_train_segment
+    from tests.test_datasets import synthetic_2d_db, synthetic_3d_db
+
+    cfg = get_cfg_defaults()
+    cfg.TITLE = "repr_wopw_3dpw_model"
+    cfg.OUTPUT_DIR = str(tmp_path)
+    cfg.DATASET.SEQLEN = 6
+    cfg.DATASET.VIDLEN = 12
+    cfg.TRAIN.BATCH_SIZE = 4
+    cfg.TRAIN.DATA_2D_RATIO = 0.5
+    cfg.TRAIN.DATASETS_2D = ["PoseTrack"]
+    cfg.TRAIN.DATASETS_3D = ["MPII3D"]
+    cfg.TRAIN.DATASET_EVAL = "ThreeDPW"
+    cfg.TRAIN.MOT_DISCR.GCN.num_gcn_scales = 2
+    cfg.TRAIN.MOT_DISCR.GCN.num_g3d_scales = 2
+
+    db3, pse3 = synthetic_3d_db(rng, videos=((14, "a"), (14, "b"), (14, "c")))
+    db2, pse2 = synthetic_2d_db(rng, clips=((12, "x"), (12, "y"), (12, "z")))
+    amass_db = {"vid_name": np.array(["m"] * 60),
+                "theta": rng.randn(60, 82).astype(np.float32)}
+    over = {"mpii3d": (db3, pse3), "posetrack": (db2, pse2),
+            "amass": (amass_db, None), "threedpw": (db3, pse3)}
+    loaders = get_data_loaders(cfg, db_overrides=over)
+
+    hp = TrainHyper(seqlen=6, n_2d=2, n_3d=2, num_gcn_scales=2,
+                    num_g3d_scales=2)
+    model_cfg = TePoseConfig(seqlen=6, n_layers=1, hidden_size=16)
+    smpl = synthetic_smpl_model(seed=0, num_verts=48)
+    gen_params = tepose_init(jax.random.PRNGKey(0), model_cfg)
+    disc_params, disc_state = motion_discriminator_init(
+        jax.random.PRNGKey(1), num_gcn_scales=2, num_g3d_scales=2)
+    gen_tx = make_optimizer("adam", 1e-4)
+    disc_tx = make_optimizer("adam", 1e-4)
+    factory = functools.partial(make_packed_train_segment, smpl, model_cfg,
+                                hp, gen_tx, disc_tx, LossWeights(), 2)
+    jreg = (rng.rand(17, 48) ** 4).astype(np.float32)
+    jreg /= jreg.sum(1, keepdims=True)
+
+    logdir = str(tmp_path / "exp")
+    loop = TrainLoop(cfg=cfg, segment_factory=factory, smpl=smpl,
+                     model_cfg=model_cfg, hp=hp, gen_params=gen_params,
+                     disc_params=disc_params, disc_state=disc_state,
+                     gen_tx=gen_tx, disc_tx=disc_tx, loaders=loaders,
+                     j_regressor=jreg, logdir=logdir,
+                     num_iters_per_epoch=2)
+    loop.fit(end_epoch=1, num_outer=1)
+
+    import os.path as osp
+    assert osp.isfile(osp.join(logdir, "checkpoint.npz"))
+    assert osp.isfile(osp.join(logdir, "model_best.npz"))
+    assert osp.isfile(osp.join(logdir, "best.txt"))
+    trained_w = np.asarray(loop.gen_params["regressor"]["fc1"]["weight"])
+
+    # resume into a fresh loop
+    cfg2 = cfg.clone()
+    cfg2.TRAIN.RESUME = osp.join(logdir, "checkpoint.npz")
+    loop2 = TrainLoop(cfg=cfg2, segment_factory=factory, smpl=smpl,
+                      model_cfg=model_cfg, hp=hp,
+                      gen_params=tepose_init(jax.random.PRNGKey(9),
+                                             model_cfg),
+                      disc_params=disc_params, disc_state=disc_state,
+                      gen_tx=gen_tx, disc_tx=disc_tx, loaders=loaders,
+                      j_regressor=jreg, logdir=str(tmp_path / "exp2"),
+                      num_iters_per_epoch=2)
+    assert loop2.start_epoch == 1
+    np.testing.assert_allclose(
+        np.asarray(loop2.gen_params["regressor"]["fc1"]["weight"]),
+        trained_w, atol=1e-6)
+    assert np.isfinite(loop2.best_performance)
+    for l in loaders:
+        if l is not None:
+            l.close()
