@@ -236,10 +236,12 @@ class Insta(Dataset2D):
                  db: Optional[Dict] = None,
                  psetheta: Optional[np.ndarray] = None):
         if db is None:
+            import os.path as osp
+
             import h5py
+            import joblib
 
             from tepose_tpu.config import TePose_DB_DIR
-            import os.path as osp
             path = h5_path or osp.join(TePose_DB_DIR, "insta_train_db.h5")
             f = h5py.File(path, "r")
             db = {
@@ -248,8 +250,16 @@ class Insta(Dataset2D):
                 "joints2D": f["joints2D"],
                 "bbox": f["bbox"] if "bbox" in f else None,
             }
-            psetheta = np.asarray(f["theta_pseu"]) if "theta_pseu" in f \
-                else np.zeros((len(db["vid_name"]), 85), np.float32)
+            # pseudo-thetas live in a sidecar joblib like the other datasets
+            # (ref: pseudo_theta.py writes insta_train_pseudotheta.pt)
+            pse_path = path.replace("_db.h5", "_pseudotheta.pt")
+            if psetheta is None:
+                if osp.isfile(pse_path):
+                    psetheta = joblib.load(pse_path)
+                elif "theta_pseu" in f:
+                    psetheta = np.asarray(f["theta_pseu"])
+                else:
+                    psetheta = np.zeros((len(db["vid_name"]), 85), np.float32)
         super().__init__(load_opt, seqlen, vidlen, "insta", db=db,
                          psetheta=psetheta)
 
