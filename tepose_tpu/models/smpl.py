@@ -272,6 +272,7 @@ def smpl_forward(
     betas: jnp.ndarray,
     pose: jnp.ndarray,
     pose2rot: bool = False,
+    skinning: str = "xla",
 ):
     """SMPL forward pass.
 
@@ -281,6 +282,8 @@ def smpl_forward(
              axis-angle (global_orient first).
       pose2rot: convert axis-angle to rotmats first (ref: smplx `pose2rot`,
              used by the MPVPE GT-vertex path, eval_utils.py:168).
+      skinning: "xla" (default einsum path) or "pallas" (fused TPU kernel,
+             ops/lbs_pallas.py) — numerically equivalent.
 
     Returns dict with:
       verts    (B, V, 3)
@@ -311,10 +314,17 @@ def smpl_forward(
                                             model.parents)
 
     # 5. Linear blend skinning: per-vertex 4x4 = weights @ joint transforms.
-    T = jnp.einsum("vj,bjik->bvik", model.lbs_weights, rel_tf)  # (B, V, 4, 4)
-    verts = (
-        jnp.einsum("bvik,bvk->bvi", T[..., :3, :3], v_posed) + T[..., :3, 3]
-    )
+    if skinning == "pallas":
+        # fused Pallas kernel — T never materialises in HBM
+        # (see ops/lbs_pallas.py)
+        from tepose_tpu.ops.lbs_pallas import lbs_skinning_pallas
+
+        verts = lbs_skinning_pallas(model.lbs_weights, rel_tf, v_posed)
+    else:
+        T = jnp.einsum("vj,bjik->bvik", model.lbs_weights,
+                       rel_tf)  # (B, V, 4, 4)
+        verts = (jnp.einsum("bvik,bvk->bvi", T[..., :3, :3], v_posed)
+                 + T[..., :3, 3])
 
     # 6. 45-joint base = skeleton(24) + surface keypoints(21), then 9 extra
     #    regressed joints, reordered to the 49-joint output.
