@@ -247,7 +247,12 @@ def main():
         img = (np.zeros_like(frames[f_idx]) if args.render_plain
                else frames[f_idx].copy())
         for pid, pd in frame_results[f_idx].items():
-            img = render_mesh(pd["verts"], faces, pd["cam"], img)
+            if args.wireframe:
+                from tepose_tpu.utils.vis import draw_wireframe
+
+                img = draw_wireframe(img, pd["verts"], pd["cam"], faces)
+            else:
+                img = render_mesh(pd["verts"], faces, pd["cam"], img)
             if args.sideview:
                 side_img = np.zeros_like(img)
                 rot90 = np.array([[0, 0, -1], [0, 1, 0], [1, 0, 0]],

@@ -11,8 +11,9 @@ Differences from the reference, by design (TPU-first):
   * videos are evaluated as padded batches through one jitted
     lax.scan program (eval.evaluator) instead of a per-video Python loop;
   * checkpoints are converted `.npz` files (tools/convert_checkpoint.py);
-  * rendering requires pyrender and is gated behind --render with a clear
-    message when unavailable.
+  * --render / --render_plain use the built-in native rasterizer (no
+    pyrender/EGL); frames whose source images are missing on disk render on
+    a plain background.
 """
 
 import argparse
@@ -225,6 +226,13 @@ def run_eval(cfg, args, synthetic: bool = False):
                     out_dir = f"./output/{dataset}_test_output"
                     plot_accel(pj, tgt, out_dir, name=args.seq or n)
 
+                if args.render or args.render_plain:
+                    # rebuild verts for this video and overlay
+                    # (ref: evaluate.py:304-390)
+                    _render_eval_video(
+                        dataset, n, d, pred_theta[b, :L], smpl, args,
+                        frame_start=args.frame)
+
                 acc.add_video(
                     pj, tgt,
                     mpvpe=mpvpe[b, :L] if dataset == "3dpw" else None,
@@ -239,6 +247,67 @@ def run_eval(cfg, args, synthetic: bool = False):
     return res
 
 
+def _render_eval_video(dataset, seq_name, d, pred_theta, smpl, args,
+                       frame_start=0, num_frames_to_render=240):
+    """Mesh-overlay rendering of an eval sequence with the native rasterizer
+    (ref: evaluate.py:304-390)."""
+    import cv2
+    import jax.numpy as jnp
+
+    from tepose_tpu.models.smpl import smpl_forward, load_smpl_faces
+    from tepose_tpu.native import render_mesh
+    from tepose_tpu.ops.geometry import batch_rodrigues
+    from tepose_tpu.streaming.demo_utils import (
+        convert_crop_cam_to_orig_img, write_video)
+    from tepose_tpu.config import BASE_DATA_DIR
+
+    faces_path = osp.join(BASE_DATA_DIR, "smpl_neutral.npz")
+    if osp.isfile(faces_path):
+        faces = load_smpl_faces(faces_path)
+    else:
+        from scipy.spatial import ConvexHull
+
+        faces = ConvexHull(np.asarray(smpl.v_template)).simplices.astype(
+            np.int32)
+
+    L = len(pred_theta)
+    rm = np.asarray(batch_rodrigues(jnp.asarray(
+        pred_theta[:, 3:75].reshape(-1, 3)))).reshape(L, 24, 3, 3)
+    verts = np.asarray(smpl_forward(
+        smpl, jnp.asarray(pred_theta[:, 75:]), jnp.asarray(rm))["verts"])
+    cams = pred_theta[:, :3]
+
+    imgnames = d.get("imgname")
+    bboxes = d.get("bbox")
+    out_dir = f"./output/{dataset}_test_output"
+    frames = []
+    W_img = H_img = 480
+    for i in range(min(L, num_frames_to_render)):
+        fi = frame_start + i
+        img = None
+        if imgnames is not None and not args.render_plain:
+            path = str(imgnames[min(fi, len(imgnames) - 1)])
+            if osp.isfile(path):
+                img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+        if img is None:
+            img = np.zeros((H_img, W_img, 3), np.uint8)
+        h, w = img.shape[:2]
+        if bboxes is not None and not args.render_plain:
+            bb = bboxes[min(fi, len(bboxes) - 1)].copy()[None, :]
+            bb[:, 2:] = bb[:, 2:] * 1.2
+            cam4 = convert_crop_cam_to_orig_img(cams[i:i + 1], bb, w, h)[0]
+        else:
+            cam4 = np.array([1.0, 1.0, 0.0, 0.0], np.float32)
+        frames.append(render_mesh(verts[i], faces, cam4, img,
+                                  color=(1.0, 1.0, 0.9)))
+    tag = "_plain" if args.render_plain else ""
+    safe = str(seq_name).split("/")[-1]
+    out_path = osp.join(out_dir, "video",
+                        f"tepose_{safe}{tag}_{frame_start}.mp4")
+    write_video(frames, out_path, fps=25.0)
+    print(f"Saving result video to {osp.abspath(out_path)}")
+
+
 def main():
     from tepose_tpu.config import parse_args
 
@@ -246,14 +315,6 @@ def main():
     if synthetic:
         sys.argv.remove("--synthetic")
     cfg, cfg_file, args = parse_args()
-    if args.render or args.render_plain:
-        try:
-            import pyrender  # noqa: F401
-        except ImportError:
-            print("--render requires pyrender (not installed in this "
-                  "environment); continuing without rendering")
-            args.render = False
-            args.render_plain = False
     return run_eval(cfg, args, synthetic=synthetic)
 
 

@@ -89,3 +89,27 @@ def batch_visualize_vid_preds(video: np.ndarray, preds: Dict,
             row.append(img)
         frames.append(np.concatenate(row, axis=1))
     return np.stack(frames)
+
+
+def draw_wireframe(image: np.ndarray, verts: np.ndarray, cam: np.ndarray,
+                   faces: np.ndarray, color=(200, 200, 180),
+                   max_edges: int = 20000) -> np.ndarray:
+    """Edge-line mesh overlay (the --wireframe demo flag; the reference
+    delegates to pyrender's wireframe mode, renderer.py/demo.py:482).
+
+    cam (4,) = (sx, sy, tx, ty) in original-image coords (same mapping as the
+    native rasterizer).
+    """
+    import cv2
+
+    h, w = image.shape[:2]
+    sx, sy, tx, ty = [float(c) for c in cam]
+    px = ((1.0 + sx * (verts[:, 0] + tx)) * 0.5 * w).astype(np.int32)
+    py = ((1.0 + sy * (-verts[:, 1] + ty)) * 0.5 * h).astype(np.int32)
+    edges = set()
+    for f in faces[:max_edges]:
+        for a, b in ((f[0], f[1]), (f[1], f[2]), (f[2], f[0])):
+            edges.add((min(a, b), max(a, b)))
+    for a, b in edges:
+        cv2.line(image, (px[a], py[a]), (px[b], py[b]), color, 1)
+    return image
