@@ -192,6 +192,37 @@ def main():
 
         pred_theta = out["theta"]
         pred_verts = out["verts"]
+
+        if args.run_smplify and "joints2d" in tr:
+            # Temporal-SMPLify refinement against the tracked 2D keypoints
+            # (working replacement for the reference's broken smplify_runner,
+            # demo_utils.py:89-165; requires --tracking_method pose)
+            import jax.numpy as jnp
+
+            from tepose_tpu.data.kp_utils import convert_kps
+            from tepose_tpu.data.transforms import (
+                normalize_2d_kp, transform_keypoints)
+            from tepose_tpu.models.smplify import smplify_refine
+            from tepose_tpu.ops.geometry import batch_rodrigues
+
+            kp = convert_kps(tr["joints2d"], "staf", "spin")
+            kp[..., :2] = normalize_2d_kp(transform_keypoints(
+                kp[..., :2],
+                np.stack([sq[:, 0], sq[:, 1], sq[:, 2], sq[:, 3]], 1)))
+            rotmat = np.asarray(batch_rodrigues(jnp.asarray(
+                pred_theta[:, 3:75].reshape(-1, 3)))).reshape(-1, 24, 3, 3)
+            refined = smplify_refine(
+                smpl, jnp.asarray(rotmat),
+                jnp.asarray(pred_theta[:, 75:]),
+                jnp.asarray(pred_theta[:, :3]), jnp.asarray(kp))
+            pred_theta = np.asarray(refined["theta"])
+            pred_verts = np.asarray(refined["verts"])
+            out["kp_3d"] = np.asarray(refined["kp_3d"])
+            out["kp_2d"] = np.asarray(refined["kp_2d"])
+        elif args.run_smplify:
+            print("--run_smplify needs 2D keypoints: use "
+                  "--tracking_method pose --staf_dir <openpose jsons>")
+
         if args.smooth:
             from tepose_tpu.models.smpl import smpl_forward
             from tepose_tpu.ops.geometry import batch_rodrigues

@@ -309,12 +309,25 @@ def _render_eval_video(dataset, seq_name, d, pred_theta, smpl, args,
 
 
 def main():
+    import jax
+
     from tepose_tpu.config import parse_args
 
     synthetic = "--synthetic" in sys.argv
     if synthetic:
         sys.argv.remove("--synthetic")
+    precision = "float32"
+    if "--precision" in sys.argv:
+        i = sys.argv.index("--precision")
+        precision = sys.argv[i + 1]
+        del sys.argv[i:i + 2]
     cfg, cfg_file, args = parse_args()
+    if precision in ("float32", "highest"):
+        # strict-parity mode: f32 matmuls use full-precision passes (the TPU
+        # default is the fast bf16-pass mode, ~4x faster but ~1e-3 relative
+        # error — fine for training, borderline for 0.1mm metric parity)
+        with jax.default_matmul_precision("float32"):
+            return run_eval(cfg, args, synthetic=synthetic)
     return run_eval(cfg, args, synthetic=synthetic)
 
 

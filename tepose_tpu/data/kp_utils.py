@@ -77,6 +77,14 @@ register("insta", [
     "OP RSmallToe", "OP LAnkle", "OP RAnkle",
 ])
 
+register("staf", [
+    "OP Nose", "OP Neck", "OP RShoulder", "OP RElbow", "OP RWrist",
+    "OP LShoulder", "OP LElbow", "OP LWrist", "OP MidHip",
+    "OP RHip", "OP RKnee", "OP RAnkle", "OP LHip", "OP LKnee", "OP LAnkle",
+    "OP REye", "OP LEye", "OP REar", "OP LEar",
+    "Neck (LSP)", "Top of Head (LSP)",
+])
+
 register("posetrack", [
     "nose", "neck", "headtop", "lear", "rear",
     "lshoulder", "rshoulder", "lelbow", "relbow", "lwrist", "rwrist",

@@ -150,10 +150,13 @@ def load_pose_tracklets(json_folder: str,
             p = kp_to_bbox_param(kp, vis_thresh)
             if p is None:
                 continue
-            entry = people.setdefault(pid, {"bbox": [], "frames": []})
+            entry = people.setdefault(pid, {"bbox": [], "frames": [],
+                                            "joints2d": []})
             size = 150.0 / p[2] * 1.2
             entry["bbox"].append([p[0], p[1], size, size])
             entry["frames"].append(idx)
+            entry["joints2d"].append(kp)
     return {pid: {"bbox": np.asarray(v["bbox"], np.float32),
-                  "frames": np.asarray(v["frames"], np.int64)}
+                  "frames": np.asarray(v["frames"], np.int64),
+                  "joints2d": np.asarray(v["joints2d"], np.float32)}
             for pid, v in people.items() if len(v["frames"]) >= 6}
