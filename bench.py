@@ -50,7 +50,7 @@ def main() -> None:
     flats = jax.device_put(packer.pack((params, pack_smpl(smpl))))
 
     B = 256           # concurrent streams (measured throughput optimum)
-    frames = 101      # frames per stream in the timed segment
+    frames = 485      # frames per stream (long segments amortize host sync)
     S = cfg.seqlen
     W = frames - S + 1
 
@@ -80,7 +80,7 @@ def main() -> None:
     thetas, j3d = stream(flats, feats, theta0)
     np.asarray(thetas)
 
-    reps = 10
+    reps = 5
     t0 = time.time()
     for _ in range(reps):
         thetas, j3d = stream(flats, feats, theta0)
