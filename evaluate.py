@@ -205,7 +205,8 @@ def run_eval(cfg, args, synthetic: bool = False):
                     from tepose_tpu.models.smpl import (
                         H36M_TO_J14, regress_h36m_joints)
                     pj = np.asarray(regress_h36m_joints(
-                        verts, jreg, subset=np.array(H36M_TO_J14)))
+                        verts, jnp.asarray(j_regressor),
+                        subset=np.array(H36M_TO_J14)))
 
                 tgt = d["joints3D"][:L].astype(np.float32)
                 valid_map = None
