@@ -22,6 +22,11 @@ import time
 sys.path.insert(0, ".")
 
 import numpy as np  # noqa: E402
+
+from tepose_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 

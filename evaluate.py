@@ -26,6 +26,11 @@ sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
 
 import numpy as np  # noqa: E402
 
+from tepose_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
+
 
 def build_models(cfg, synthetic: bool):
     import jax
