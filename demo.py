@@ -175,25 +175,33 @@ def main():
     engine = StreamingEngine(smpl, tepose_params, vibe_params,
                              backbone_params, mcfg, vcfg)
 
-    # ---- per-tracklet streaming -------------------------------------------
+    # ---- per-tracklet streaming (batched across tracklets) -----------------
     stream_time_start = time.time()
     results = {}
     total_pred_frames = 0
-    for pid, tr in tracklets.items():
+    pids = list(tracklets.keys())
+    squares = {}
+    feats_list = []
+    for pid in pids:
+        tr = tracklets[pid]
         bboxes = tr["bbox"].copy()
         # square crops, like the reference's bbox scale handling
         side = np.maximum(bboxes[:, 2], bboxes[:, 3])
         sq = np.stack([bboxes[:, 0], bboxes[:, 1], side, side], axis=1)
+        squares[pid] = sq
 
         crops = []
         for local_i, f_idx in enumerate(tr["frames"]):
             crops.append(crop_normalize(frames[int(f_idx)],
                                         sq[local_i:local_i + 1])[0])
-        crops = np.stack(crops)
-
-        feats = engine.extract_features(crops)
-        out = engine.run_tracklet(feats)
+        feats = engine.extract_features(np.stack(crops))
+        feats_list.append(feats)
         total_pred_frames += len(feats)
+
+    outs = engine.run_tracklets(feats_list)
+    for pid, out in zip(pids, outs):
+        tr = tracklets[pid]
+        sq = squares[pid]
 
         pred_theta = out["theta"]
         pred_verts = out["verts"]

@@ -102,9 +102,10 @@ class StreamingEngine:
 
     # ----------------------------------------------------------------- stream
 
-    def _get_stream_fn(self, T_pad: int):
-        if T_pad in self._stream_fns:
-            return self._stream_fns[T_pad]
+    def _get_stream_fn(self, key):
+        if key in self._stream_fns:
+            return self._stream_fns[key]
+        T_pad, _B = key if isinstance(key, tuple) else (key, 1)
         S = self.model_cfg.seqlen
         W = T_pad - S + 1
         packer = self._gen_packer
@@ -128,7 +129,7 @@ class StreamingEngine:
             return {k: jnp.concatenate([boot[k], scanned[k]], axis=1)
                     for k in boot}
 
-        self._stream_fns[T_pad] = stream
+        self._stream_fns[key] = stream
         return stream
 
     def run_tracklet(self, features: np.ndarray,
@@ -137,20 +138,47 @@ class StreamingEngine:
         """features (T, 2048) -> per-frame dict (T, ...) of theta/verts/
         kp_3d/kp_2d. The theta buffer bootstraps from `theta_pseu`
         ((S-1, 85)) or zeros with identity cam."""
+        return self.run_tracklets([features],
+                                  None if theta_pseu is None
+                                  else [theta_pseu])[0]
+
+    def run_tracklets(self, features_list, theta_pseu_list=None):
+        """Batched multi-tracklet streaming: tracklets are grouped by padded
+        length and advance together through one scan program per bucket
+        (multi-person videos get near-single-person wall time).
+
+        features_list: list of (T_i, 2048); returns a list of per-frame
+        output dicts aligned with the input order.
+        """
         t0 = time.time()
         S = self.model_cfg.seqlen
-        T = len(features)
-        if T < S:
-            raise ValueError(f"tracklet too short: {T} < seqlen {S}")
-        T_pad = _round_up(T, self.window_bucket)
-        feats = np.zeros((1, T_pad, 2048), np.float32)
-        feats[0, :T] = features
-        if theta_pseu is None:
-            theta_pseu = np.zeros((S - 1, 85), np.float32)
-            theta_pseu[:, 0] = 1.0
-        fn = self._get_stream_fn(T_pad)
-        out = fn(self._gen_flats, jnp.asarray(feats),
-                 jnp.asarray(theta_pseu[None]))
-        result = {k: np.asarray(v[0, :T]) for k, v in out.items()}
+        for f in features_list:
+            if len(f) < S:
+                raise ValueError(f"tracklet too short: {len(f)} < {S}")
+        if theta_pseu_list is None:
+            theta_pseu_list = [None] * len(features_list)
+
+        buckets: Dict[int, list] = {}
+        for i, f in enumerate(features_list):
+            buckets.setdefault(_round_up(len(f), self.window_bucket),
+                               []).append(i)
+
+        results: List[Optional[Dict[str, np.ndarray]]] =             [None] * len(features_list)
+        for T_pad, idxs in buckets.items():
+            B = len(idxs)
+            feats = np.zeros((B, T_pad, 2048), np.float32)
+            pseu = np.zeros((B, S - 1, 85), np.float32)
+            pseu[:, :, 0] = 1.0
+            for b, i in enumerate(idxs):
+                feats[b, :len(features_list[i])] = features_list[i]
+                if theta_pseu_list[i] is not None:
+                    pseu[b] = theta_pseu_list[i]
+            fn = self._get_stream_fn((T_pad, B))
+            out = fn(self._gen_flats, jnp.asarray(feats),
+                     jnp.asarray(pseu))
+            for b, i in enumerate(idxs):
+                T = len(features_list[i])
+                results[i] = {k: np.asarray(v[b, :T])
+                              for k, v in out.items()}
         self.timings["stream"] += time.time() - t0
-        return result
+        return results
