@@ -137,6 +137,9 @@ class TrainLoop:
             losses.update(last_metrics["gen_loss"])
             self.writer.add_scalars(last_metrics, self.global_step,
                                     prefix="train_loss/")
+            if self.cfg.DEBUG and \
+                    self.global_step % max(self.cfg.DEBUG_FREQ, 1) == 0:
+                self._debug_visualize(b3, epoch)
             self.global_step += 1
             if not np.isfinite(last_metrics["gen_loss"]):
                 self.logger.info(f"NaN loss at segment {i}: {last_metrics}")
@@ -145,6 +148,37 @@ class TrainLoop:
             f"({time.time() - t0:.1f}s, {num_outer} segments x "
             f"{self.num_iters} windows)")
         return last_metrics
+
+    def _debug_visualize(self, batch_3d, epoch: int) -> None:
+        """Skeleton-overlay debug grid for the current 3D batch
+        (ref: trainer.py:272-279 + vis.py:330-382; without image crops in the
+        feature-based batches, skeletons draw on blank canvases)."""
+        try:
+            import cv2
+
+            from tepose_tpu.utils.vis import draw_skeleton
+
+            kp = np.asarray(batch_3d["kp_2d"])[:4, :20]  # (b, t, 49, 3)
+            b, t = kp.shape[:2]
+            frames = []
+            for ti in range(t):
+                row = []
+                for bi in range(b):
+                    img = np.zeros((224, 224, 3), np.uint8)
+                    draw_skeleton(img, kp[bi, ti])
+                    row.append(img)
+                frames.append(np.concatenate(row, axis=1))
+            path = osp.join(self.logdir,
+                            f"debug_epoch{epoch:03d}_"
+                            f"step{self.global_step:06d}.mp4")
+            h, w = frames[0].shape[:2]
+            wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 5,
+                                 (w, h))
+            for f in frames:
+                wr.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+            wr.release()
+        except Exception as e:  # visualization must never kill training
+            self.logger.info(f"debug visualization failed: {e}")
 
     def validate(self) -> Dict[str, float]:
         self._sync_carry_to_host()

@@ -14,6 +14,11 @@ import os.path as osp
 def enable_persistent_cache(path: str = None) -> str:
     import jax
 
+    # CPU AOT cache entries are machine-feature specific and can SIGILL when
+    # the compile service and execution host differ — cache only for TPU.
+    if jax.default_backend() != "tpu":
+        return ""
+
     path = path or os.environ.get(
         "TEPOSE_JAX_CACHE",
         osp.join(osp.dirname(osp.dirname(osp.dirname(
