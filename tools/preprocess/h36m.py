@@ -53,8 +53,12 @@ def read_data(dataset_path: str, split: str = "train",
     subjects = [1, 5, 6, 7, 8] if split == "train" else [9, 11]
     annot_path = osp.join(dataset_path, "annotations")
     for subject in subjects:
-        with open(osp.join(annot_path,
-                           f"Human36M_subject{subject}_camera.json")) as f:
+        cam_file = osp.join(annot_path,
+                            f"Human36M_subject{subject}_camera.json")
+        if not osp.isfile(cam_file):
+            print(f"skipping absent subject {subject}")
+            continue
+        with open(cam_file) as f:
             cameras = json.load(f)
         with open(osp.join(annot_path,
                            f"Human36M_subject{subject}_joint_3d.json")) as f:
