@@ -306,8 +306,6 @@ def main():
                                        side_img)
                 img = np.concatenate([img, side_img], axis=1)
         out_frames.append(img)
-        if args.save_obj and f_idx in results.get(0, {}).get("frame_ids", []):
-            pass  # per-frame objs saved below
 
     if args.save_obj:
         obj_dir = osp.join(args.output_folder, f"{base}_obj")
