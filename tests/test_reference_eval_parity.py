@@ -1,0 +1,270 @@
+"""End-to-end parity against the reference's OWN loss and eval algorithm.
+
+Two pillars the model-level suite (test_reference_parity.py) doesn't cover:
+
+1. `lib.core.loss.TePoseLoss` (loss.py:32-171) run as-is on a synthetic
+   mixed 2D/3D batch with the real MotionDiscriminatorGCN, vs our masked-mean
+   `tepose_loss` on the identical inputs.
+2. The reference's sequential eval loop — VIBE bootstrap + B=1 python window
+   loop with theta feedback (evaluate.py:233-269) — executed with the real
+   torch TePose/VIBE modules, vs our batched `make_eval_scan` lax.scan with
+   converted weights, frame for frame.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+import reference_shims as shims
+from tepose_tpu.models.smpl import synthetic_smpl_model
+from tepose_tpu.models.tepose import TePoseConfig, VibeConfig
+from tepose_tpu.models.gcn import motion_discriminator_apply
+from tepose_tpu.train.checkpoint import (
+    convert_torch_generator,
+    convert_torch_discriminator,
+)
+from tepose_tpu.train.loss import LossWeights, tepose_loss
+from tepose_tpu.eval.evaluator import make_eval_scan
+
+NUM_VERTS = 300
+S = 6  # seqlen
+
+
+@pytest.fixture(scope="module")
+def ref_env(tmp_path_factory):
+    shims.install_reference()
+    root = tmp_path_factory.mktemp("refdata_eval")
+    smpl = synthetic_smpl_model(seed=3, num_verts=NUM_VERTS)
+    rs = np.random.RandomState(11)
+    ident6d = np.tile(np.array([1, 0, 0, 0, 1, 0], np.float32), 24)
+    mean = {
+        "pose": ident6d + rs.randn(144).astype(np.float32) * 0.05,
+        "shape": rs.randn(10).astype(np.float32) * 0.03,
+        "cam": np.array([0.9, 0.01, -0.02], np.float32),
+    }
+    shims.set_model_npz(shims.save_model_npz(smpl, root / "smpl.npz"))
+    shims.make_base_data(str(root), smpl, mean)
+    old = os.getcwd()
+    os.chdir(root)
+    yield {"smpl": smpl, "mean": mean}
+    os.chdir(old)
+
+
+# ---------------------------------------------------------------------------
+# TePoseLoss parity (ref: loss.py:59-171)
+# ---------------------------------------------------------------------------
+
+
+def _loss_case(ref_env, w_smpl_pattern, seed=0):
+    """Drive the real TePoseLoss and our tepose_loss on identical inputs."""
+    from lib.core.loss import TePoseLoss
+    from lib.models.motion_discriminator_gcn import MotionDiscriminatorGCN
+
+    rs = np.random.RandomState(seed)
+    n_2d, n_3d = 2, 3
+    B = n_2d + n_3d
+
+    torch.manual_seed(9)
+    disc = MotionDiscriminatorGCN(
+        num_class=2, num_point=24, num_person=1, num_gcn_scales=13,
+        num_g3d_scales=6, graph="lib.graph.smplx_theta.AdjMatrixGraph")
+    disc.eval()
+
+    # synthetic generator outputs / targets, reference tensor layouts
+    preds = {
+        "theta": rs.randn(B, 2, 85).astype(np.float32) * 0.3,
+        "kp_2d": rs.randn(B, 2, 49, 2).astype(np.float32),
+        "kp_3d": rs.randn(B, 2, 49, 3).astype(np.float32),
+    }
+    kp_2d_gt = rs.randn(B, 2, 49, 3).astype(np.float32)
+    kp_2d_gt[..., 2] = rs.rand(B, 2, 49)  # confidences
+    kp_3d_gt = rs.randn(n_3d, 2, 49, 3).astype(np.float32)
+    theta_gt = rs.randn(n_3d, 2, 85).astype(np.float32) * 0.3
+    w_3d = np.array([1, 0, 1], np.float32)[:n_3d]
+    w_smpl = np.asarray(w_smpl_pattern, np.float32)[:n_3d]
+    prev_thetas = rs.randn(B, S - 1, 85).astype(np.float32) * 0.3
+    real_motion = rs.randn(B, S, 85).astype(np.float32) * 0.3
+
+    # ---- reference loss, boolean-filter semantics ------------------------
+    t = torch.from_numpy
+    ref_loss = TePoseLoss(e_loss_weight=60., e_3d_loss_weight=30.,
+                          e_pose_loss_weight=1., e_shape_loss_weight=0.001,
+                          d_motion_loss_weight=1., device="cpu")
+    gen_out = [{
+        "theta": t(preds["theta"]),
+        "kp_2d": t(preds["kp_2d"]),
+        "kp_3d": t(preds["kp_3d"]),
+    }]
+    data_2d = {"kp_2d": t(kp_2d_gt[:n_2d])}
+    data_3d = {
+        "kp_2d": t(kp_2d_gt[n_2d:]),
+        "kp_3d": t(kp_3d_gt),
+        "theta": t(theta_gt),
+        "w_3d": t(np.repeat(w_3d[:, None], 2, axis=1)),
+        "w_smpl": t(np.repeat(w_smpl[:, None], 2, axis=1)),
+    }
+    with torch.no_grad():
+        ref_gen, ref_dis, ref_dict = ref_loss(
+            gen_out, data_2d, data_3d,
+            pre_mosh=t(prev_thetas),
+            data_motion_mosh={"theta": t(real_motion)},
+            motion_discriminator=disc,
+        )
+
+    # ---- ours, masked-mean semantics --------------------------------------
+    params, state = convert_torch_discriminator(disc.state_dict())
+
+    def disc_fn(x, mask):
+        out, _ = motion_discriminator_apply(params, state, jnp.asarray(x))
+        return out
+
+    our_gen, our_dis, our_dict = tepose_loss(
+        {k: jnp.asarray(v) for k, v in preds.items()},
+        kp_2d_gt=jnp.asarray(kp_2d_gt),
+        kp_3d_gt=jnp.asarray(kp_3d_gt),
+        theta_gt=jnp.asarray(theta_gt),
+        w_3d=jnp.asarray(w_3d),
+        w_smpl=jnp.asarray(w_smpl),
+        valid=jnp.ones((B,)),
+        n_2d=n_2d,
+        prev_thetas=jnp.asarray(prev_thetas),
+        real_motion=jnp.asarray(real_motion),
+        disc_fn=disc_fn,
+        weights=LossWeights(kp_2d=60.0, kp_3d=30.0, pose=1.0, shape=0.001,
+                            d_motion=1.0),
+    )
+    return (ref_gen, ref_dis, ref_dict), (our_gen, our_dis, our_dict)
+
+
+def test_loss_parity_mixed_smpl(ref_env):
+    """Some 3D rows have GT SMPL, others enter the GAN (loss.py:132-136)."""
+    (ref_gen, ref_dis, ref_dict), (our_gen, our_dis, our_dict) = _loss_case(
+        ref_env, w_smpl_pattern=[1, 0, 1])
+
+    np.testing.assert_allclose(float(our_gen), float(ref_gen), rtol=2e-5)
+    np.testing.assert_allclose(float(our_dis), float(ref_dis), rtol=2e-5)
+    for key in ("loss_kp_2d", "loss_kp_3d", "loss_shape", "loss_pose",
+                "e_m_disc_loss", "d_m_disc_real", "d_m_disc_fake",
+                "d_m_disc_loss"):
+        assert key in ref_dict, key
+        np.testing.assert_allclose(float(our_dict[key]),
+                                   float(ref_dict[key]), rtol=2e-5,
+                                   atol=1e-7, err_msg=key)
+
+
+def test_loss_parity_no_smpl(ref_env):
+    """All 3D rows lack GT SMPL -> every row feeds the motion GAN."""
+    (ref_gen, ref_dis, _), (our_gen, our_dis, _) = _loss_case(
+        ref_env, w_smpl_pattern=[0, 0, 0], seed=1)
+    np.testing.assert_allclose(float(our_gen), float(ref_gen), rtol=2e-5)
+    np.testing.assert_allclose(float(our_dis), float(ref_dis), rtol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Sequential eval-loop parity (ref: evaluate.py:233-269)
+# ---------------------------------------------------------------------------
+
+
+def _reference_rollout(model, model_vibe, feats, theta_pseu, jreg_t):
+    """The reference's python eval loop, transcribed from evaluate.py:233-269
+    with the real torch modules (incl. the zero-theta last slot quirk at
+    evaluate.py:252-254)."""
+    F = feats.shape[0]
+    curr_feat = torch.from_numpy(feats)
+    theta_input = torch.from_numpy(theta_pseu).clone()
+
+    pred_j3ds, pred_thetas, pred_verts = [], [], []
+    with torch.no_grad():
+        batch = curr_feat[:S].clone().unsqueeze(0)
+        output = model_vibe(batch, J_regressor=jreg_t)[-1]
+        n_kp = output["kp_3d"].shape[-2]
+        pred_j3ds.append(output["kp_3d"][0, :S - 1].reshape(-1, n_kp, 3)
+                         .numpy())
+        pred_thetas.append(output["theta"][0, :S - 1].reshape(-1, 85).numpy())
+        pred_verts.append(output["verts"][0, :S - 1]
+                          .reshape(-1, NUM_VERTS, 3).numpy())
+
+        for curr_idx in range(F - S + 1):
+            input_feat = torch.zeros((1, S, 2048 + 85)).float()
+            input_feat[0, :, :2048] = curr_feat[None, curr_idx:curr_idx + S]
+            input_feat[0, :S - 1, 2048:] = theta_input.clone()
+            preds = model(input_feat, J_regressor=jreg_t, is_train=False)
+            n_kp = preds[-1]["kp_3d"].shape[-2]
+            pred_j3ds.append(preds[-1]["kp_3d"].reshape(-1, n_kp, 3).numpy())
+            pred_thetas.append(preds[-1]["theta"].reshape(-1, 85).numpy())
+            pred_verts.append(preds[-1]["verts"]
+                              .reshape(-1, NUM_VERTS, 3).numpy())
+            theta_input[:S - 2] = theta_input[1:S - 1].clone()
+            theta_input[S - 2] = preds[-1]["theta"].clone().detach()
+
+    return (np.vstack(pred_j3ds), np.vstack(pred_thetas),
+            np.vstack(pred_verts))
+
+
+def test_eval_rollout_parity(ref_env):
+    """Multi-window theta-feedback rollout: reference python loop vs our
+    batched lax.scan, with and without the H36M J_regressor."""
+    from lib.models.tepose import TePose
+    from lib.models.vibe import VIBE
+
+    torch.manual_seed(12)
+    model = TePose(seqlen=S, n_layers=2, hidden_size=256, pretrained="")
+    model.eval()
+    model_vibe = VIBE(seqlen=16, n_layers=2, hidden_size=256,
+                      add_linear=True, pretrained="")
+    model_vibe.eval()
+
+    rs = np.random.RandomState(21)
+    F = 13  # frames -> 8 TePose windows after the VIBE bootstrap
+    feats = rs.randn(F, 2048).astype(np.float32) * 0.2
+    theta_pseu = rs.randn(S - 1, 85).astype(np.float32) * 0.2
+    theta_gt = rs.randn(F, 85).astype(np.float32) * 0.2
+    jreg = rs.rand(17, NUM_VERTS).astype(np.float32)
+    jreg /= jreg.sum(axis=1, keepdims=True)
+
+    gen_params = convert_torch_generator(model.state_dict())
+    vibe_params = convert_torch_generator(model_vibe.state_dict(),
+                                          has_vibe_encoder=True)
+    model_cfg = TePoseConfig(seqlen=S, n_layers=2, hidden_size=256)
+    vibe_cfg = VibeConfig(seqlen=16, n_layers=2, hidden_size=256,
+                          add_linear=True)
+    smpl = ref_env["smpl"]
+
+    for use_jreg in (True, False):
+        jreg_t = torch.from_numpy(jreg) if use_jreg else None
+        ref_j3d, ref_theta, ref_verts = _reference_rollout(
+            model, model_vibe, feats, theta_pseu, jreg_t)
+
+        eval_fn = make_eval_scan(smpl, model_cfg, vibe_cfg,
+                                 num_windows=F - S + 1,
+                                 use_j_regressor=use_jreg)
+        out = eval_fn(gen_params, vibe_params, jnp.asarray(feats[None]),
+                      jnp.asarray(theta_pseu[None]),
+                      jnp.asarray(theta_gt[None]), jnp.asarray(jreg))
+
+        assert out["pred_theta"].shape == (1, F, 85)
+        np.testing.assert_allclose(np.asarray(out["pred_theta"][0]),
+                                   ref_theta, atol=3e-4)
+        np.testing.assert_allclose(np.asarray(out["pred_j3d"][0]),
+                                   ref_j3d, atol=3e-4)
+
+        # our per-frame MPVPE must equal the torch-side rebuild: GT verts
+        # from theta_gt (pose2rot) vs the rollout's predicted verts
+        from lib.models.smpl import SMPL, SMPL_MODEL_DIR
+
+        smpl_t = SMPL(SMPL_MODEL_DIR, batch_size=1, create_transl=False)
+        with torch.no_grad():
+            gt_out = smpl_t(
+                betas=torch.from_numpy(theta_gt[:, 75:]),
+                body_pose=torch.from_numpy(theta_gt[:, 6:75]),
+                global_orient=torch.from_numpy(theta_gt[:, 3:6]),
+                pose2rot=True)
+        gt_verts = gt_out.vertices.numpy()
+        ref_mpvpe = np.sqrt(
+            ((ref_verts - gt_verts) ** 2).sum(-1)).mean(-1)
+        np.testing.assert_allclose(np.asarray(out["mpvpe"][0]), ref_mpvpe,
+                                   atol=3e-4)
