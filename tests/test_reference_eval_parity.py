@@ -205,6 +205,105 @@ def _reference_rollout(model, model_vibe, feats, theta_pseu, jreg_t):
             np.vstack(pred_verts))
 
 
+def _reference_aggregate(videos, dataset):
+    """The reference's metric-aggregation block (evaluate.py:392-462),
+    calling the real lib.utils.eval_utils functions."""
+    from lib.utils.eval_utils import (
+        batch_compute_similarity_transform_torch,
+        compute_error_accel_eval,
+        compute_error_verts,
+    )
+
+    full_res = {"mpjpe": [], "mpjpe_pa": [], "accel_err": [], "mpvpe": []}
+    for vid in videos:
+        pred_j3ds = torch.from_numpy(vid["pred_j3d"]).float()
+        target_j3ds = torch.from_numpy(vid["target_j3d"]).float()
+        valid_map = vid["valid_map"].copy()
+
+        if dataset == "mpii3d":
+            pred_pelvis = pred_j3ds[:, [-3], :]
+            target_pelvis = target_j3ds[:, [-3], :]
+        else:
+            pred_pelvis = (pred_j3ds[:, [2], :] + pred_j3ds[:, [3], :]) / 2.0
+            target_pelvis = (target_j3ds[:, [2], :]
+                             + target_j3ds[:, [3], :]) / 2.0
+        pred_j3ds = pred_j3ds - pred_pelvis
+        target_j3ds = target_j3ds - target_pelvis
+
+        m2mm = 1000
+        mpjpe = torch.sqrt(((pred_j3ds - target_j3ds) ** 2).sum(dim=-1)) \
+            .numpy()[valid_map].mean(axis=-1) * m2mm
+        S1_hat = batch_compute_similarity_transform_torch(pred_j3ds,
+                                                          target_j3ds)
+        mpjpe_pa = torch.sqrt(((S1_hat - target_j3ds) ** 2).sum(dim=-1)) \
+            .numpy()[valid_map].mean(axis=-1) * m2mm
+
+        accel_err = np.zeros((len(pred_j3ds),))
+        accel_err[1:-1] = compute_error_accel_eval(
+            joints_pred=pred_j3ds.numpy(), joints_gt=target_j3ds.numpy()) \
+            * m2mm
+        if len(valid_map) > 1:
+            if valid_map[0] == 0:
+                valid_map = valid_map[1:]
+            if valid_map[-1] == len(accel_err) - 1:
+                valid_map = valid_map[:-1]
+            full_res["accel_err"].append(accel_err[valid_map])
+
+        full_res["mpjpe"].append(mpjpe)
+        full_res["mpjpe_pa"].append(mpjpe_pa)
+        if dataset == "3dpw":
+            full_res["mpvpe"].append(compute_error_verts(
+                target_theta=torch.from_numpy(vid["target_theta"]),
+                pred_verts=torch.from_numpy(vid["pred_verts"])) * m2mm)
+
+    return {k: float(np.mean(np.concatenate(v)))
+            for k, v in full_res.items() if v}
+
+
+@pytest.mark.parametrize("dataset", ["3dpw", "mpii3d"])
+def test_metric_aggregation_parity(ref_env, dataset):
+    """Our EvalAccumulator must reproduce the reference's Procrustes/accel/
+    MPVPE aggregation (incl. valid_map boundary trims) on multi-video input."""
+    from tepose_tpu.eval.evaluator import EvalAccumulator
+    from tepose_tpu.models.smpl import smpl_forward
+
+    rs = np.random.RandomState(31)
+    K = 17 if dataset == "mpii3d" else 14
+    videos = []
+    for T, vmap in ((11, np.arange(11)), (9, np.array([0, 2, 3, 5, 8]))):
+        vid = {
+            "pred_j3d": rs.randn(T, K, 3).astype(np.float32) * 0.3,
+            "target_j3d": rs.randn(T, K, 3).astype(np.float32) * 0.3,
+            "valid_map": vmap,
+            "target_theta": rs.randn(T, 85).astype(np.float32) * 0.2,
+            "pred_verts": rs.randn(T, NUM_VERTS, 3).astype(np.float32),
+        }
+        videos.append(vid)
+
+    ref = _reference_aggregate(videos, dataset)
+
+    acc = EvalAccumulator(dataset=dataset)
+    smpl = ref_env["smpl"]
+    for vid in videos:
+        mpvpe = None
+        if dataset == "3dpw":
+            th = vid["target_theta"]
+            gt_verts = np.asarray(smpl_forward(
+                smpl, jnp.asarray(th[:, 75:]), jnp.asarray(th[:, 3:75]),
+                pose2rot=True)["verts"])
+            mpvpe = np.sqrt(
+                ((vid["pred_verts"] - gt_verts) ** 2).sum(-1)).mean(-1)
+        acc.add_video(vid["pred_j3d"], vid["target_j3d"], mpvpe=mpvpe,
+                      valid_map=vid["valid_map"])
+    ours = acc.summarize()
+
+    np.testing.assert_allclose(ours["mpjpe"], ref["mpjpe"], rtol=1e-5)
+    np.testing.assert_allclose(ours["pa_mpjpe"], ref["mpjpe_pa"], rtol=1e-4)
+    np.testing.assert_allclose(ours["accel_err"], ref["accel_err"], rtol=1e-5)
+    if dataset == "3dpw":
+        np.testing.assert_allclose(ours["mpvpe"], ref["mpvpe"], rtol=1e-4)
+
+
 def test_eval_rollout_parity(ref_env):
     """Multi-window theta-feedback rollout: reference python loop vs our
     batched lax.scan, with and without the H36M J_regressor."""
