@@ -11,10 +11,12 @@ optional 1-euro smoothing -> mesh overlay render -> output video.
                   --staf_dir <openpose json dir>]
   python demo.py --synthetic          # smoke-run on a generated video
 
-Differences by design: the person detector is external (pass --detections
-with per-frame boxes from any detector, or OpenPose JSONs via
---tracking_method pose); without either, a full-frame single-person tracklet
-is used. Rendering uses the built-in native rasterizer (no pyrender/EGL).
+Person detection is built in: a background-subtraction motion detector +
+IoU tracker handles multi-person footage with no external model (replacing
+the reference's yolov3-via-MPT, demo.py:87-100). External detections
+(--detections npz), OpenPose STAF (--tracking_method pose --staf_dir, runs
+the binary if installed), or --detector none (full-frame) are alternatives.
+Rendering uses the built-in native rasterizer (no pyrender/EGL).
 """
 
 import argparse
@@ -46,12 +48,20 @@ def parse_args():
     p.add_argument("--detections", type=str, default="",
                    help="npz of precomputed detections/tracklets")
     p.add_argument("--staf_dir", type=str, default="",
-                   help="folder of OpenPose keypoint JSONs (pose tracking)")
-    p.add_argument("--detector", type=str, default="none",
-                   help="accepted for CLI compat; use --detections instead")
-    p.add_argument("--yolo_img_size", type=int, default=416)
-    p.add_argument("--tracker_batch_size", type=int, default=12)
-    p.add_argument("--display", action="store_true")
+                   help="OpenPose STAF install dir (runs the binary) or a "
+                        "folder of precomputed keypoint JSONs")
+    p.add_argument("--detector", type=str, default="motion",
+                   choices=["motion", "none"],
+                   help="built-in detector when no --detections are given: "
+                        "'motion' = background-subtraction multi-person "
+                        "proposals, 'none' = single full-frame tracklet")
+    p.add_argument("--yolo_img_size", type=int, default=416,
+                   help="ignored: the built-in detector replaces yolov3 "
+                        "(pass --detections for external detector output)")
+    p.add_argument("--tracker_batch_size", type=int, default=12,
+                   help="ignored: the built-in IoU tracker is not batched")
+    p.add_argument("--display", action="store_true",
+                   help="show the rendered frames in a window while writing")
     p.add_argument("--save_pkl", action="store_true")
     p.add_argument("--save_obj", action="store_true")
     p.add_argument("--run_smplify", action="store_true")
@@ -66,6 +76,8 @@ def parse_args():
     p.add_argument("--output_folder", type=str, default="output/demo")
     p.add_argument("--synthetic", action="store_true",
                    help="smoke-run on a generated video with random weights")
+    p.add_argument("--profile", type=str, default="",
+                   help="capture a jax.profiler trace into this directory")
     return p.parse_args()
 
 
@@ -106,6 +118,11 @@ def main():
     from tepose_tpu.train.checkpoint import load_checkpoint
 
     total_time_start = time.time()
+    from tepose_tpu.utils.profiling import StageTimer
+
+    timer = StageTimer()
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
 
     # ---- input video -------------------------------------------------------
     if args.synthetic and not args.vid_file:
@@ -115,7 +132,8 @@ def main():
     if not osp.isfile(args.vid_file):
         sys.exit(f"input video {args.vid_file!r} does not exist!")
 
-    frames = list(D.read_video_frames(args.vid_file))
+    with timer.stage("decode"):
+        frames = list(D.read_video_frames(args.vid_file))
     num_frames = len(frames)
     fps_in = D.video_fps(args.vid_file)
     orig_h, orig_w = frames[0].shape[:2]
@@ -123,14 +141,33 @@ def main():
           f"{orig_w}x{orig_h} @ {fps_in:.1f} fps")
 
     # ---- tracking ----------------------------------------------------------
+    _track_t0 = time.time()
     if args.detections:
         tracklets = load_detections_npz(args.detections, num_frames)
     elif args.tracking_method == "pose" and args.staf_dir:
-        tracklets = load_pose_tracklets(args.staf_dir)
+        from glob import glob
+
+        if glob(osp.join(args.staf_dir, "*.json")):
+            tracklets = load_pose_tracklets(args.staf_dir)
+        else:  # a STAF install dir: run the binary (pose_tracker.py:25-48)
+            from tepose_tpu.streaming.tracker import run_staf
+
+            json_dir = osp.join(args.output_folder, "staf_json")
+            tracklets = run_staf(args.vid_file, json_dir, args.staf_dir)
+    elif args.detector == "motion":
+        from tepose_tpu.streaming.tracker import detect_people_motion
+
+        tracklets = detect_people_motion(frames)
+        print(f"Motion detector found {len(tracklets)} tracklet(s)")
+        if not tracklets:
+            print("Nothing moved; falling back to a full-frame tracklet")
+            tracklets = detect_people_simple(frames[0].shape, num_frames)
     else:
-        print("No detector output provided; using a full-frame tracklet "
-              "(pass --detections for multi-person footage)")
+        print("Detector disabled; using a full-frame tracklet "
+              "(pass --detections or --detector motion for multi-person)")
         tracklets = detect_people_simple(frames[0].shape, num_frames)
+    timer.totals["track"] += time.time() - _track_t0
+    timer.counts["track"] += 1
     tracklets = {k: v for k, v in tracklets.items()
                  if len(v["frames"]) >= MIN_NUM_FRAMES}
     print(f"Tracking yielded {len(tracklets)} tracklet(s)")
@@ -273,6 +310,9 @@ def main():
     print(f"TePose FPS: {total_pred_frames / max(stream_time, 1e-9):.2f} "
           f"(features {engine.timings['features']:.1f}s, "
           f"stream {engine.timings['stream']:.1f}s)")
+    for k, v in engine.timers.summary().items():
+        timer.totals[k] += v["total_s"]
+        timer.counts[k] += v["count"]
 
     os.makedirs(args.output_folder, exist_ok=True)
     base = osp.splitext(osp.basename(args.vid_file))[0]
@@ -286,7 +326,17 @@ def main():
 
     # ---- rendering ---------------------------------------------------------
     frame_results = D.prepare_rendering_results(results, num_frames)
+    display = args.display
+    if display:  # ref: demo.py:426-431 (cv2 window per rendered frame)
+        import cv2
+
+        try:
+            cv2.namedWindow("TePose", cv2.WINDOW_NORMAL)
+        except cv2.error as e:
+            print(f"--display unavailable (headless environment?): {e}")
+            display = False
     out_frames = []
+    _render_t0 = time.time()
     for f_idx in range(num_frames):
         img = (np.zeros_like(frames[f_idx]) if args.render_plain
                else frames[f_idx].copy())
@@ -306,6 +356,13 @@ def main():
                                        side_img)
                 img = np.concatenate([img, side_img], axis=1)
         out_frames.append(img)
+        if display:
+            import cv2
+
+            cv2.imshow("TePose", cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+            if cv2.waitKey(1) & 0xFF == ord("q"):
+                display = False
+                cv2.destroyAllWindows()
 
     if args.save_obj:
         obj_dir = osp.join(args.output_folder, f"{base}_obj")
@@ -319,12 +376,24 @@ def main():
                     for tri in faces + 1:
                         f.write(f"f {tri[0]} {tri[1]} {tri[2]}\n")
 
+    timer.totals["render"] += time.time() - _render_t0
+    timer.counts["render"] += 1
+    if display:
+        import cv2
+
+        cv2.destroyAllWindows()
+
     out_path = osp.join(args.output_folder, f"tepose_{base}_result.mp4")
-    D.write_video(out_frames, out_path, fps_in)
+    with timer.stage("write_video"):
+        D.write_video(out_frames, out_path, fps_in)
     print(f"Saved result video to {osp.abspath(out_path)}")
     total = time.time() - total_time_start
     print(f"Total FPS (including model loading): "
           f"{num_frames / total:.2f}")
+    print(f"Stage timing: {timer.report()}")
+    if args.profile:
+        jax.profiler.stop_trace()
+        print(f"Saved device trace to {args.profile}")
 
 
 if __name__ == "__main__":

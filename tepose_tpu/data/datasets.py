@@ -263,10 +263,6 @@ class Insta(Dataset2D):
         super().__init__(load_opt, seqlen, vidlen, "insta", db=db,
                          psetheta=psetheta)
 
-    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
-        item = super().__getitem__(index)
-        return item
-
 
 class AMASS:
     """Real-motion theta chunks for the discriminator (ref: amass.py:26-59).

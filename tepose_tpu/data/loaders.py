@@ -63,6 +63,12 @@ class BatchLoader:
                 self._queue.put(batch)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if len(self) == 0:
+            raise ValueError(
+                f"dataset of {len(self.dataset)} items cannot fill even one "
+                f"batch of {self.batch_size} with drop_last=True — the "
+                "consumer would block forever (shrink the batch or grow "
+                "the dataset)")
         if self._thread is None:
             self._queue = queue.Queue(maxsize=self._prefetch)
             self._thread = threading.Thread(target=self._producer,

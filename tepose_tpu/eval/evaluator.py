@@ -119,20 +119,13 @@ def make_packed_eval_scan(smpl: SmplModel, model_cfg: TePoseConfig,
                           use_j_regressor: bool, weights_packer,
                           data_packer):
     """Packed-IO variant for the remote-TPU link (see utils.packing): weights
-    = (gen_params, vibe_params, smpl tensors, j_regressor) in one buffer,
-    data = {feats, theta_pseu, theta_gt} in another; outputs flattened into
-    one buffer unpacked host-side with `out_packer` (returned).
+    = (gen_params, vibe_params, smpl tensors, j_regressor) in one buffer per
+    dtype, data = {feats, theta_pseu, theta_gt} in another.
 
-    Returns (fn(weight_flats, data_flats) -> out_flats, out_packer_factory)
-    where out_packer_factory() gives the FlatPacker for the outputs after the
-    first call shapes are known. Simpler: outputs are returned as a tuple
-    (pred_j3d, pred_theta, mpvpe) — 3 buffers, acceptable.
+    Returns fn(weight_flats, data_flats) -> (pred_j3d, pred_theta, mpvpe) —
+    three output buffers, fetched with np.asarray host-side.
     """
     from tepose_tpu.utils.packing import unpack_smpl
-
-    base = make_eval_scan.__wrapped__ if hasattr(make_eval_scan, "__wrapped__")         else None
-
-    S = model_cfg.seqlen
 
     @jax.jit
     def fn(weight_flats, data_flats):

@@ -17,7 +17,6 @@ TPU-first design:
 
 from __future__ import annotations
 
-import time
 from typing import Dict, Iterable, List, Optional
 
 import jax
@@ -30,6 +29,7 @@ from tepose_tpu.models.tepose import (
 from tepose_tpu.models.backbone import resnet50_features
 from tepose_tpu.streaming.fast_scan import fast_stream_scan
 from tepose_tpu.utils.packing import FlatPacker, pack_smpl, unpack_smpl
+from tepose_tpu.utils.profiling import StageTimer
 
 
 def _round_up(n: int, m: int) -> int:
@@ -48,7 +48,9 @@ class StreamingEngine:
         self.vibe_cfg = vibe_cfg
         self.crop_batch = crop_batch
         self.window_bucket = window_bucket
-        self.timings: Dict[str, float] = {"features": 0.0, "stream": 0.0}
+        # per-stage wall timing (utils.profiling.StageTimer); the dict
+        # view keeps the old `engine.timings["features"]` API working
+        self.timers = StageTimer()
 
         # ---- packed weights ------------------------------------------------
         bb_template = backbone_params
@@ -75,10 +77,17 @@ class StreamingEngine:
 
     # ------------------------------------------------------------------ feats
 
+    @property
+    def timings(self) -> Dict[str, float]:
+        return {k: v for k, v in self.timers.totals.items()}
+
     def extract_features(self, crops: np.ndarray) -> np.ndarray:
         """(N, 3, 224, 224) float32 crops -> (N, 2048) features, batched with
         double buffering (next host batch prepared while device works)."""
-        t0 = time.time()
+        with self.timers.stage("features"):
+            return self._extract_features(crops)
+
+    def _extract_features(self, crops: np.ndarray) -> np.ndarray:
         N = len(crops)
         B = self.crop_batch
         out = np.zeros((N, 2048), np.float32)
@@ -97,7 +106,6 @@ class StreamingEngine:
                 out[j:j + n] = np.asarray(f)[:n]
         for j, n, f in pending:
             out[j:j + n] = np.asarray(f)[:n]
-        self.timings["features"] += time.time() - t0
         return out
 
     # ----------------------------------------------------------------- stream
@@ -150,7 +158,10 @@ class StreamingEngine:
         features_list: list of (T_i, 2048); returns a list of per-frame
         output dicts aligned with the input order.
         """
-        t0 = time.time()
+        with self.timers.stage("stream"):
+            return self._run_tracklets(features_list, theta_pseu_list)
+
+    def _run_tracklets(self, features_list, theta_pseu_list):
         S = self.model_cfg.seqlen
         for f in features_list:
             if len(f) < S:
@@ -180,5 +191,4 @@ class StreamingEngine:
                 T = len(features_list[i])
                 results[i] = {k: np.asarray(v[b, :T])
                               for k, v in out.items()}
-        self.timings["stream"] += time.time() - t0
         return results

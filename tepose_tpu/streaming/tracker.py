@@ -103,6 +103,104 @@ def detect_people_simple(frame_shape, num_frames: int) -> Dict[int, Dict]:
     return {0: {"bbox": bbox, "frames": np.arange(num_frames)}}
 
 
+def detect_people_motion(
+    frames: List[np.ndarray],
+    min_area_frac: float = 0.003,
+    max_people: int = 8,
+    bg_samples: int = 30,
+    work_width: int = 320,
+    iou_thresh: float = 0.2,
+    max_missed: int = 15,
+) -> Dict[int, Dict]:
+    """In-repo multi-person proposal detector: median-background subtraction
+    + connected components + IoU tracking. No external model needed.
+
+    Replaces the reference's yolov3-via-MPT detector (ref: demo.py:87-100)
+    for footage with a mostly static camera: moving people produce foreground
+    blobs, blobs become square person boxes, boxes become tracklets through
+    `IoUTracker`. Returns the same {id: {"bbox": (T,4) cx,cy,w,h,
+    "frames": (T,)}} format. Empty dict when nothing moves (callers fall back
+    to `detect_people_simple`).
+    """
+    import cv2
+
+    if not frames:
+        return {}
+    h, w = frames[0].shape[:2]
+    scale = work_width / float(w)
+    wh = (work_width, max(1, int(round(h * scale))))
+
+    def small_gray(img):
+        g = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+        return cv2.resize(g, wh, interpolation=cv2.INTER_AREA)
+
+    idxs = np.linspace(0, len(frames) - 1,
+                       min(bg_samples, len(frames))).astype(int)
+    bg = np.median(
+        np.stack([small_gray(frames[i]) for i in idxs]).astype(np.float32),
+        axis=0)
+
+    kernel = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (7, 7))
+    min_area = min_area_frac * wh[0] * wh[1]
+    tracker = IoUTracker(iou_thresh=iou_thresh, max_missed=max_missed)
+
+    for f, frame in enumerate(frames):
+        diff = np.abs(small_gray(frame).astype(np.float32) - bg)
+        # adaptive threshold: robust to global lighting/noise levels
+        thr = max(18.0, float(diff.mean() + 2.5 * diff.std()))
+        mask = (diff > thr).astype(np.uint8) * 255
+        mask = cv2.morphologyEx(mask, cv2.MORPH_CLOSE, kernel)
+        mask = cv2.dilate(mask, kernel, iterations=2)
+
+        n, _, stats, _ = cv2.connectedComponentsWithStats(mask, connectivity=8)
+        boxes = []
+        for ci in range(1, n):  # 0 = background
+            x, y, bw, bh, area = stats[ci]
+            if area < min_area:
+                continue
+            # square person box with margin, back in full resolution
+            cx = (x + bw / 2.0) / scale
+            cy = (y + bh / 2.0) / scale
+            side = max(bw, bh) / scale * 1.2
+            boxes.append([cx, cy, side, side])
+        boxes.sort(key=lambda b: -b[2] * b[3])
+        tracker.update(f, np.asarray(boxes[:max_people], np.float32)
+                       if boxes else np.zeros((0, 4), np.float32))
+
+    return tracker.tracklets()
+
+
+def run_staf(video_file: str, output_folder: str, staf_dir: str,
+             vis: bool = False) -> Dict[int, Dict]:
+    """Shell out to the OpenPose STAF binary, then parse its JSONs.
+
+    ref: lib/utils/pose_tracker.py:25-48 (run_openpose) — same binary path,
+    model and tracking flags; the binary itself is an optional external
+    install (STAF is not shipped).
+    """
+    import os
+    import subprocess
+
+    binary = osp.join(staf_dir, "build/examples/openpose/openpose.bin")
+    if not osp.isfile(binary):
+        raise FileNotFoundError(
+            f"STAF openpose binary not found at {binary}; install STAF or "
+            "use --detections / the built-in motion detector")
+    os.makedirs(output_folder, exist_ok=True)
+    cmd = [
+        "build/examples/openpose/openpose.bin",
+        "--model_pose", "BODY_21A",
+        "--tracking", "1",
+        "--render_pose", "1" if vis else "0",
+        "--video", osp.abspath(video_file),
+        "--write_json", osp.abspath(output_folder),
+        "--display", "2" if vis else "0",
+    ]
+    print("Executing", " ".join(cmd))
+    subprocess.check_call(cmd, cwd=staf_dir)
+    return load_pose_tracklets(output_folder)
+
+
 def load_detections_npz(path: str, num_frames: int) -> Dict[int, Dict]:
     """Load precomputed per-frame detections and track them.
 

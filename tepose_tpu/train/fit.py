@@ -21,6 +21,7 @@ from tepose_tpu.train import checkpoint as ckpt
 from tepose_tpu.train.optim import ReduceLROnPlateau, get_lr, set_lr
 from tepose_tpu.train.validate import validate_epoch
 from tepose_tpu.utils.logging import AverageMeter, MetricWriter, create_logger
+from tepose_tpu.utils.profiling import NaNGuard
 
 
 class TrainLoop:
@@ -33,7 +34,7 @@ class TrainLoop:
     def __init__(self, *, cfg, segment_factory, smpl, model_cfg, hp,
                  gen_params, disc_params, disc_state, gen_tx, disc_tx,
                  loaders, j_regressor, logdir: str,
-                 num_iters_per_epoch: int, seed: int = 0):
+                 num_iters_per_epoch: int, seed: int = 0, faces=None):
         self.cfg = cfg
         self.segment_factory = segment_factory
         self.segment = None           # built lazily at first batch
@@ -52,6 +53,7 @@ class TrainLoop:
             self.disc_opt = jax.jit(disc_tx.init)(disc_params)
         self.train_2d, self.train_3d, self.disc_loader, self.valid = loaders
         self.j_regressor = j_regressor
+        self.faces = faces
         self.logdir = logdir
         self.num_iters = num_iters_per_epoch
         self.writer = MetricWriter(logdir)
@@ -59,6 +61,7 @@ class TrainLoop:
 
         self.gen_sched = ReduceLROnPlateau(patience=cfg.TRAIN.LR_PATIENCE)
         self.disc_sched = ReduceLROnPlateau(patience=cfg.TRAIN.LR_PATIENCE)
+        self.nan_guard = NaNGuard(patience=3)
         self.best_performance = float("inf")
         self.start_epoch = cfg.TRAIN.START_EPOCH
         self.rng = jax.random.PRNGKey(max(seed, 0))
@@ -141,7 +144,13 @@ class TrainLoop:
                     self.global_step % max(self.cfg.DEBUG_FREQ, 1) == 0:
                 self._debug_visualize(b3, epoch)
             self.global_step += 1
-            if not np.isfinite(last_metrics["gen_loss"]):
+            if not self.nan_guard.check(float(last_metrics["gen_loss"]),
+                                        self.global_step):
+                self.logger.info(
+                    f"NaNGuard: {self.nan_guard.consecutive} consecutive "
+                    f"non-finite segments ({last_metrics}) — rolling back")
+                self._rollback()
+            elif not np.isfinite(last_metrics["gen_loss"]):
                 self.logger.info(f"NaN loss at segment {i}: {last_metrics}")
         self.logger.info(
             f"Epoch {epoch + 1} train: loss {losses.avg:.2f} "
@@ -150,35 +159,77 @@ class TrainLoop:
         return last_metrics
 
     def _debug_visualize(self, batch_3d, epoch: int) -> None:
-        """Skeleton-overlay debug grid for the current 3D batch
-        (ref: trainer.py:272-279 + vis.py:330-382; without image crops in the
-        feature-based batches, skeletons draw on blank canvases)."""
+        """Prediction-mesh debug grid for the current 3D batch: run the
+        *current* generator over the batch's first windows and overlay the
+        predicted skeleton + mesh with the GT skeleton (ref: trainer.py:
+        272-279 -> vis.py:330-382; without image crops in the feature-based
+        batches, overlays draw on blank canvases)."""
         try:
             import cv2
 
-            from tepose_tpu.utils.vis import draw_skeleton
+            from tepose_tpu.models.tepose import tepose_apply
+            from tepose_tpu.utils.vis import batch_visualize_vid_preds
 
-            kp = np.asarray(batch_3d["kp_2d"])[:4, :20]  # (b, t, 49, 3)
-            b, t = kp.shape[:2]
-            frames = []
-            for ti in range(t):
-                row = []
-                for bi in range(b):
-                    img = np.zeros((224, 224, 3), np.uint8)
-                    draw_skeleton(img, kp[bi, ti])
-                    row.append(img)
-                frames.append(np.concatenate(row, axis=1))
+            self._sync_carry_to_host()
+            gen = jax.tree_util.tree_map(jnp.asarray, self.gen_params)
+            S = self.hp.seqlen
+            n = min(4, int(np.asarray(batch_3d["features"]).shape[0]))
+            feats = np.asarray(batch_3d["features"])[:n]
+            pseu = np.asarray(batch_3d["theta_pseu"])[:n]
+            kp2d_gt = np.asarray(batch_3d["kp_2d"])[:n]
+            W = min(8, feats.shape[1] - S + 1)
+
+            preds = {"theta": [], "kp_2d": [], "verts": []}
+            for j in range(W):  # pseudo-theta feedback: debug-only rollout
+                fb = np.concatenate(
+                    [pseu[:, j:j + S - 1], np.zeros((n, 1, 85), np.float32)],
+                    axis=1)
+                x = np.concatenate([feats[:, j:j + S], fb], axis=-1)
+                out = tepose_apply(gen, self.smpl, jnp.asarray(x),
+                                   self.model_cfg)
+                for k in preds:
+                    preds[k].append(np.asarray(out[k]))
+            preds = {k: np.stack(v, axis=1) for k, v in preds.items()}
+
+            video = np.zeros((n, W, 224, 224, 3), np.uint8)
+            target = {"kp_2d": kp2d_gt[:, S - 1:S - 1 + W]}
+            grid = batch_visualize_vid_preds(video, preds, target,
+                                             self.faces, max_items=n)
+
             path = osp.join(self.logdir,
                             f"debug_epoch{epoch:03d}_"
                             f"step{self.global_step:06d}.mp4")
-            h, w = frames[0].shape[:2]
+            h, w = grid.shape[1:3]
             wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 5,
                                  (w, h))
-            for f in frames:
+            for f in grid:
                 wr.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
             wr.release()
         except Exception as e:  # visualization must never kill training
             self.logger.info(f"debug visualization failed: {e}")
+
+    def _rollback(self) -> None:
+        """Restore the last saved checkpoint after persistent non-finite
+        losses (the reference only prints on NaN, trainer.py:285-287).
+        Raises if no checkpoint exists yet — better to halt than to keep
+        training a poisoned model."""
+        path = osp.join(self.logdir, "checkpoint.npz")
+        if not osp.isfile(path):
+            raise RuntimeError(
+                "NaNGuard: losses stayed non-finite for "
+                f"{self.nan_guard.consecutive} segments and no checkpoint "
+                "exists to roll back to — halting")
+        trees, _ = ckpt.load_checkpoint(path)
+        self.gen_params = jax.tree_util.tree_map(jnp.asarray, trees["gen"])
+        self.disc_params = jax.tree_util.tree_map(jnp.asarray, trees["disc"])
+        self.disc_state = jax.tree_util.tree_map(jnp.asarray,
+                                                 trees["disc_state"])
+        if "gen_opt" in trees:
+            self.gen_opt = _tree_to_opt(trees["gen_opt"], self.gen_opt)
+            self.disc_opt = _tree_to_opt(trees["disc_opt"], self.disc_opt)
+        self._push_carry_to_device()
+        self.nan_guard = NaNGuard(self.nan_guard.patience)
+        self.logger.info(f"NaNGuard: restored parameters from '{path}'")
 
     def validate(self) -> Dict[str, float]:
         self._sync_carry_to_host()

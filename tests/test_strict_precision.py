@@ -1,0 +1,103 @@
+"""Strict-parity eval mode: under `--precision float32`
+(jax.default_matmul_precision("float32"), evaluate.py:331-336) the whole
+theta-feedback eval pipeline must sit within the 0.1 mm north-star tolerance
+of true (float64) arithmetic — so the claim survives the TPU's bf16-matmul
+default, which the flag disables. ref: BASELINE.md "numerical parity"."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def enable_x64():
+    return jax.enable_x64(True)
+
+from tepose_tpu.eval.evaluator import make_eval_scan
+from tepose_tpu.models.smpl import synthetic_smpl_model, smpl_forward
+from tepose_tpu.models.regressor import regressor_init, regressor_apply
+from tepose_tpu.models.tepose import (
+    TePoseConfig, VibeConfig, tepose_init, vibe_init)
+
+MM_01 = 1e-4  # 0.1 mm in metres
+
+
+def _cast_tree(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda x: jnp.asarray(np.asarray(x), dtype)
+        if np.issubdtype(np.asarray(x).dtype, np.floating) else x, tree)
+
+
+def _cast_smpl(smpl, dtype):
+    import dataclasses
+
+    return dataclasses.replace(
+        smpl,
+        **{f: jnp.asarray(np.asarray(getattr(smpl, f)), dtype)
+           for f in ("v_template", "shapedirs", "posedirs", "j_regressor",
+                     "lbs_weights", "j_regressor_extra")})
+
+
+def test_regressor_verts_f32_strict_vs_f64(rng):
+    """Vertex-level: one IEF+SMPL pass, f32-strict vs f64, < 0.1 mm."""
+    smpl = synthetic_smpl_model(seed=3, num_verts=300)
+    params = regressor_init(jax.random.PRNGKey(0))
+    x = rng.randn(4, 2048).astype(np.float32) * 0.3
+
+    with jax.default_matmul_precision("float32"):
+        out32 = regressor_apply(params, smpl, jnp.asarray(x))
+        v32 = np.asarray(out32["verts"], np.float64)
+
+    with enable_x64():
+        out64 = regressor_apply(_cast_tree(params, jnp.float64),
+                                _cast_smpl(smpl, jnp.float64),
+                                jnp.asarray(x, jnp.float64))
+        v64 = np.asarray(out64["verts"])
+
+    dv = np.abs(v32 - v64).max()
+    assert dv < MM_01, f"vertex deviation {dv * 1000:.4f} mm >= 0.1 mm"
+    dth = np.abs(np.asarray(out32["theta"], np.float64)
+                 - np.asarray(out64["theta"])).max()
+    assert dth < 1e-4, dth
+
+
+def test_eval_rollout_f32_strict_vs_f64(rng):
+    """Full eval scan (VIBE bootstrap + theta feedback windows): per-frame
+    joints within 0.1 mm of the f64 rollout after 6 feedback windows."""
+    S, F = 6, 11
+    smpl = synthetic_smpl_model(seed=3, num_verts=300)
+    mcfg = TePoseConfig(seqlen=S, n_layers=1, hidden_size=64)
+    vcfg = VibeConfig(seqlen=16, n_layers=1, hidden_size=64, add_linear=True)
+    gen = tepose_init(jax.random.PRNGKey(0), mcfg)
+    vibe = vibe_init(jax.random.PRNGKey(1), vcfg)
+
+    feats = rng.randn(1, F, 2048).astype(np.float32) * 0.2
+    pseu = rng.randn(1, S - 1, 85).astype(np.float32) * 0.2
+    tgt = rng.randn(1, F, 85).astype(np.float32) * 0.2
+    jreg = rng.rand(17, 300).astype(np.float32)
+    jreg /= jreg.sum(1, keepdims=True)
+
+    fn = make_eval_scan(smpl, mcfg, vcfg, num_windows=F - S + 1,
+                        use_j_regressor=True)
+    with jax.default_matmul_precision("float32"):
+        out32 = fn(gen, vibe, jnp.asarray(feats), jnp.asarray(pseu),
+                   jnp.asarray(tgt), jnp.asarray(jreg))
+        j32 = np.asarray(out32["pred_j3d"], np.float64)
+        m32 = np.asarray(out32["mpvpe"], np.float64)
+
+    with enable_x64():
+        fn64 = make_eval_scan(_cast_smpl(smpl, jnp.float64), mcfg, vcfg,
+                              num_windows=F - S + 1, use_j_regressor=True)
+        out64 = fn64(_cast_tree(gen, jnp.float64),
+                     _cast_tree(vibe, jnp.float64),
+                     jnp.asarray(feats, jnp.float64),
+                     jnp.asarray(pseu, jnp.float64),
+                     jnp.asarray(tgt, jnp.float64),
+                     jnp.asarray(jreg, jnp.float64))
+        j64 = np.asarray(out64["pred_j3d"])
+        m64 = np.asarray(out64["mpvpe"])
+
+    dj = np.abs(j32 - j64).max()
+    assert dj < MM_01, f"joint deviation {dj * 1000:.4f} mm >= 0.1 mm"
+    dm = np.abs(m32 - m64).max()
+    assert dm < MM_01, f"MPVPE deviation {dm * 1000:.4f} mm >= 0.1 mm"

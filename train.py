@@ -25,15 +25,20 @@ enable_persistent_cache()
 
 
 def synthetic_loaders(cfg, seed=0):
-    """In-memory synthetic DBs wired through the real dataset/loader stack."""
+    """In-memory synthetic DBs wired through the real dataset/loader stack.
+
+    Sized to the configured batch: the loaders drop incomplete batches, so
+    the DBs must hold at least one full batch of videos/clips each."""
     from tests.test_datasets import synthetic_2d_db, synthetic_3d_db
 
     rs = np.random.RandomState(seed)
     vl = cfg.DATASET.VIDLEN
+    n_videos = max(6, cfg.TRAIN.BATCH_SIZE + 2)
+    n_clips = max(20, 2 * cfg.TRAIN.BATCH_SIZE)
     db3, pse3 = synthetic_3d_db(
-        rs, videos=tuple((vl + 10, f"v{i}") for i in range(6)))
+        rs, videos=tuple((vl + 10, f"v{i}") for i in range(n_videos)))
     db2, pse2 = synthetic_2d_db(
-        rs, clips=tuple((20, f"c{i}") for i in range(20)))
+        rs, clips=tuple((20, f"c{i}") for i in range(n_clips)))
     amass = {"vid_name": np.array(["m"] * 400),
              "theta": rs.randn(400, 82).astype(np.float32) * 0.2}
     over = {name: (db3, pse3) for name in
@@ -70,6 +75,17 @@ def main():
         i = sys.argv.index("--smoke-iters")
         smoke_iters = int(sys.argv[i + 1])
         del sys.argv[i:i + 2]
+    devices = 1
+    if "--devices" in sys.argv:
+        i = sys.argv.index("--devices")
+        devices = sys.argv[i + 1]
+        del sys.argv[i:i + 2]
+        devices = len(jax.devices()) if devices == "auto" else int(devices)
+    profile_dir = None
+    if "--profile" in sys.argv:
+        i = sys.argv.index("--profile")
+        profile_dir = sys.argv[i + 1]
+        del sys.argv[i:i + 2]
 
     cfg, cfg_file, args = parse_args()
     logdir = prepare_output_dir(cfg, cfg_file)
@@ -78,18 +94,27 @@ def main():
 
     # models ---------------------------------------------------------------
     # fast_encoder: numerically equivalent lane-batched GRUs; same step
-    # time at batch 32 but ~2.4x faster compile (measured on v5e)
+    # time at batch 32 but ~2.4x faster compile (measured on v5e; also fine
+    # under a GSPMD mesh — see tests/test_multichip_train.py)
     model_cfg = TePoseConfig(seqlen=cfg.DATASET.SEQLEN,
                              n_layers=cfg.MODEL.TGRU.NUM_LAYERS,
                              hidden_size=cfg.MODEL.TGRU.HIDDEN_SIZE,
                              fast_encoder=True)
     smpl_npz = osp.join(BASE_DATA_DIR, "smpl_neutral.npz")
     if osp.isfile(smpl_npz):
+        from tepose_tpu.models.smpl import load_smpl_faces
+
         smpl = load_smpl_assets(smpl_npz)
+        faces = load_smpl_faces(smpl_npz)
     elif synthetic:
         smpl = synthetic_smpl_model(seed=0)
+        # triangle soup so the DEBUG mesh-overlay path renders something
+        idx = np.arange(smpl.num_verts - 2)
+        faces = np.stack([idx, idx + 1, idx + 2], axis=1)[::7].astype(np.int32)
     else:
         raise FileNotFoundError(f"{smpl_npz} missing — see tools/convert_smpl")
+    if faces is not None and len(faces) == 0:
+        faces = None
 
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
@@ -136,9 +161,29 @@ def main():
 
     num_iters = smoke_iters or cfg.TRAIN.NUM_ITERS_PER_EPOCH
     import functools
-    segment_factory = functools.partial(
-        make_packed_train_segment, smpl, model_cfg, hp, gen_tx, disc_tx,
-        weights, num_iters)
+    if devices > 1:
+        # data-parallel mesh training: weights replicated, batches sharded,
+        # GSPMD collectives keep numerics identical to 1-device (see
+        # parallel/dp.py and tests/test_multichip_train.py)
+        from tepose_tpu.parallel.dp import (
+            check_divisible, make_sharded_train_segment)
+        from tepose_tpu.parallel.mesh import make_mesh
+
+        if len(jax.devices()) < devices:
+            raise RuntimeError(
+                f"--devices {devices} requested but only "
+                f"{len(jax.devices())} JAX devices are visible")
+        check_divisible(hp, devices)
+        mesh = make_mesh(devices)
+        print(f"=> data-parallel training over {devices} devices: "
+              f"{[str(d) for d in mesh.devices.flat]}")
+        segment_factory = functools.partial(
+            make_sharded_train_segment, smpl, model_cfg, hp, gen_tx,
+            disc_tx, weights, num_iters, mesh)
+    else:
+        segment_factory = functools.partial(
+            make_packed_train_segment, smpl, model_cfg, hp, gen_tx, disc_tx,
+            weights, num_iters)
 
     jreg_path = osp.join(BASE_DATA_DIR, "J_regressor_h36m.npy")
     if osp.isfile(jreg_path):
@@ -154,14 +199,22 @@ def main():
                      gen_tx=gen_tx, disc_tx=disc_tx, loaders=loaders,
                      j_regressor=j_regressor, logdir=logdir,
                      num_iters_per_epoch=num_iters,
-                     seed=max(cfg.SEED_VALUE, 0))
+                     seed=max(cfg.SEED_VALUE, 0), faces=faces)
 
     # the reference consumes len(train_3d)/8 outer batches per epoch
     # (trainer.py:147)
     num_outer = max(1, len(loop.train_3d) // 8)
     if synthetic:
         num_outer = 1
-    loop.fit(cfg.TRAIN.END_EPOCH, num_outer)
+    if profile_dir:
+        import contextlib
+
+        from tepose_tpu.utils.profiling import trace
+
+        with trace(profile_dir):
+            loop.fit(cfg.TRAIN.END_EPOCH, num_outer)
+    else:
+        loop.fit(cfg.TRAIN.END_EPOCH, num_outer)
 
 
 if __name__ == "__main__":
