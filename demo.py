@@ -229,8 +229,11 @@ def main():
 
         crops = []
         for local_i, f_idx in enumerate(tr["frames"]):
+            # raw u8 crops: 4x less link traffic; the engine normalises
+            # on-device (engine.features_fn)
             crops.append(crop_normalize(frames[int(f_idx)],
-                                        sq[local_i:local_i + 1])[0])
+                                        sq[local_i:local_i + 1],
+                                        normalize=False)[0])
         feats = engine.extract_features(np.stack(crops))
         feats_list.append(feats)
         total_pred_frames += len(feats)

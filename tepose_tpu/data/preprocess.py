@@ -35,12 +35,18 @@ class FeatureExtractor:
 
         @jax.jit
         def fn(flats, crops):
+            if crops.dtype == jnp.uint8:  # on-device ImageNet normalisation
+                mean = jnp.asarray([0.485, 0.456, 0.406],
+                                   jnp.float32).reshape(1, 3, 1, 1)
+                std = jnp.asarray([0.229, 0.224, 0.225],
+                                  jnp.float32).reshape(1, 3, 1, 1)
+                crops = (crops.astype(jnp.float32) / 255.0 - mean) / std
             return resnet50_features(packer.unpack(flats), crops)
 
         self._fn = fn
 
     def features_from_crops(self, crops: np.ndarray) -> np.ndarray:
-        """(N, 3, S, S) float32 -> (N, 2048)."""
+        """(N, 3, S, S) -> (N, 2048); uint8 crops normalise on-device."""
         N = len(crops)
         B = self.batch_size
         out = np.zeros((N, 2048), np.float32)
@@ -50,7 +56,7 @@ class FeatureExtractor:
             if n < B:
                 chunk = np.concatenate(
                     [chunk, np.zeros((B - n,) + chunk.shape[1:],
-                                     np.float32)])
+                                     chunk.dtype)])
             out[i:i + n] = np.asarray(
                 self._fn(self._flats, jnp.asarray(chunk)))[:n]
         return out
@@ -68,13 +74,14 @@ class FeatureExtractor:
         import cv2
 
         crops = np.zeros((len(image_paths), 3, self.crop_size,
-                          self.crop_size), np.float32)
+                          self.crop_size), np.uint8)
         for i, path in enumerate(image_paths):
             img = cv2.cvtColor(cv2.imread(str(path)), cv2.COLOR_BGR2RGB)
             if augment_fn is not None:
                 img = augment_fn(img)
             crops[i] = crop_normalize(img, bboxes[i:i + 1],
-                                      self.crop_size, scale)[0]
+                                      self.crop_size, scale,
+                                      normalize=False)[0]
         return self.features_from_crops(crops)
 
     def extract_from_frames(self, frames: Sequence[np.ndarray],
@@ -83,6 +90,6 @@ class FeatureExtractor:
         """In-memory RGB frames + bboxes -> features."""
         crops = np.stack([
             crop_normalize(frames[i], bboxes[i:i + 1], self.crop_size,
-                           scale)[0]
+                           scale, normalize=False)[0]
             for i in range(len(frames))])
         return self.features_from_crops(crops)

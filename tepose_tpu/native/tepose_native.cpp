@@ -126,8 +126,9 @@ void render_mesh(const float* verts, int n_verts, const int32_t* faces,
 //  image:  (h, w, 3) uint8
 //  bboxes: (n, 4) float32 — (cx, cy, bw, bh); box is scaled by `scale`
 //  out:    (n, 3, out_size, out_size) float32, ImageNet-normalised
-void crop_normalize(const uint8_t* image, int h, int w, const float* bboxes,
-                    int n, int out_size, float scale, float* out) {
+static void crop_impl(const uint8_t* image, int h, int w,
+                      const float* bboxes, int n, int out_size, float scale,
+                      float* out_f32, uint8_t* out_u8) {
   static const float kMean[3] = {0.485f, 0.456f, 0.406f};
   static const float kStd[3] = {0.229f, 0.224f, 0.225f};
 
@@ -147,7 +148,9 @@ void crop_normalize(const uint8_t* image, int h, int w, const float* bboxes,
       const float step_x = bw / out_size, step_y = bh / out_size;
       const float x0 = cx - bw * 0.5f + 0.5f * step_x;
       const float y0 = cy - bh * 0.5f + 0.5f * step_y;
-      float* dst = out + static_cast<size_t>(i) * 3 * out_size * out_size;
+      const size_t base = static_cast<size_t>(i) * 3 * out_size * out_size;
+      float* dst = out_f32 ? out_f32 + base : nullptr;
+      uint8_t* dst8 = out_u8 ? out_u8 + base : nullptr;
       for (int py = 0; py < out_size; ++py) {
         const float sy_img = y0 + py * step_y;
         for (int pxi = 0; pxi < out_size; ++pxi) {
@@ -169,8 +172,9 @@ void crop_normalize(const uint8_t* image, int h, int w, const float* bboxes,
             }
           }
           for (int ch = 0; ch < 3; ++ch) {
-            dst[(ch * (size_t)out_size + py) * out_size + pxi] =
-                (rgb[ch] / 255.f - kMean[ch]) / kStd[ch];
+            const size_t o = (ch * (size_t)out_size + py) * out_size + pxi;
+            if (dst) dst[o] = (rgb[ch] / 255.f - kMean[ch]) / kStd[ch];
+            if (dst8) dst8[o] = (uint8_t)(rgb[ch] + 0.5f);
           }
         }
       }
@@ -180,6 +184,22 @@ void crop_normalize(const uint8_t* image, int h, int w, const float* bboxes,
   std::vector<std::thread> threads;
   for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
   for (auto& t : threads) t.join();
+}
+
+// Crop-and-normalise a batch of bboxes from one RGB uint8 frame.
+//  image:  (h, w, 3) uint8
+//  bboxes: (n, 4) float32 — (cx, cy, bw, bh); box is scaled by `scale`
+//  out:    (n, 3, out_size, out_size) float32, ImageNet-normalised
+void crop_normalize(const uint8_t* image, int h, int w, const float* bboxes,
+                    int n, int out_size, float scale, float* out) {
+  crop_impl(image, h, w, bboxes, n, out_size, scale, out, nullptr);
+}
+
+// Same bilinear crop, raw uint8 output (ImageNet normalisation happens on
+// the accelerator — the uint8 form is 4x cheaper to ship over the link).
+void crop_u8(const uint8_t* image, int h, int w, const float* bboxes,
+             int n, int out_size, float scale, uint8_t* out) {
+  crop_impl(image, h, w, bboxes, n, out_size, scale, nullptr, out);
 }
 
 }  // extern "C"

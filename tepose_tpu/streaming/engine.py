@@ -70,6 +70,15 @@ class StreamingEngine:
         @jax.jit
         def features_fn(flats, crops):
             params = bbp.unpack(flats)
+            if crops.dtype == jnp.uint8:
+                # raw uint8 crops: ImageNet normalisation happens here on
+                # the accelerator — shipping u8 over the link is 4x cheaper
+                # than f32 (see native.crop_normalize(normalize=False))
+                mean = jnp.asarray([0.485, 0.456, 0.406],
+                                   jnp.float32).reshape(1, 3, 1, 1)
+                std = jnp.asarray([0.229, 0.224, 0.225],
+                                  jnp.float32).reshape(1, 3, 1, 1)
+                crops = (crops.astype(jnp.float32) / 255.0 - mean) / std
             return resnet50_features(params, crops)
 
         self._features_fn = features_fn
@@ -82,8 +91,9 @@ class StreamingEngine:
         return {k: v for k, v in self.timers.totals.items()}
 
     def extract_features(self, crops: np.ndarray) -> np.ndarray:
-        """(N, 3, 224, 224) float32 crops -> (N, 2048) features, batched with
-        double buffering (next host batch prepared while device works)."""
+        """(N, 3, 224, 224) crops -> (N, 2048) features, batched with double
+        buffering. float32 crops must be ImageNet-normalised already; uint8
+        crops are normalised on-device (cheaper to transfer)."""
         with self.timers.stage("features"):
             return self._extract_features(crops)
 
@@ -97,7 +107,7 @@ class StreamingEngine:
             if len(chunk) < B:
                 chunk = np.concatenate(
                     [chunk, np.zeros((B - len(chunk),) + chunk.shape[1:],
-                                     np.float32)])
+                                     chunk.dtype)])
             feats = self._features_fn(self._bb_flats, jnp.asarray(chunk))
             pending.append((i, min(B, N - i), feats))
             # drain early to bound in-flight memory, keep 2 in flight

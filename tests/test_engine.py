@@ -46,3 +46,17 @@ def test_extract_features_shapes(rng):
     feats = eng.extract_features(crops)
     assert feats.shape == (5, 2048)
     assert np.isfinite(feats).all()
+
+
+def test_extract_features_uint8_matches_float32(rng):
+    """uint8 crops (on-device normalisation) must reproduce the f32 path
+    within u8 quantization error propagated through the backbone."""
+    eng = _engine()
+    u8 = (rng.rand(3, 3, 224, 224) * 255).astype(np.uint8)
+    mean = np.array([0.485, 0.456, 0.406], np.float32).reshape(1, 3, 1, 1)
+    std = np.array([0.229, 0.224, 0.225], np.float32).reshape(1, 3, 1, 1)
+    f32 = (u8.astype(np.float32) / 255.0 - mean) / std
+
+    feats_u8 = eng.extract_features(u8)
+    feats_f32 = eng.extract_features(f32)
+    np.testing.assert_allclose(feats_u8, feats_f32, atol=1e-4, rtol=1e-4)

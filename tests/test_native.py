@@ -83,3 +83,33 @@ def test_crop_normalize_out_of_bounds_zero():
     expected = (0.0 - IMAGENET_MEAN[0]) / IMAGENET_STD[0]
     np.testing.assert_allclose(out[0, 0, 0, 0], expected, atol=1e-5)
     assert np.isfinite(out).all()
+
+
+def test_crop_u8_matches_f32_within_quantization():
+    """normalize=False returns raw uint8; renormalising must land within
+    half a u8 LSB of the f32 path (the on-device normalisation contract)."""
+    rs = np.random.RandomState(3)
+    img = (rs.rand(90, 130, 3) * 255).astype(np.uint8)
+    bb = np.array([[70.0, 45.0, 40.0, 60.0]], np.float32)
+
+    f32 = native.crop_normalize(img, bb, 48, 1.2)
+    u8 = native.crop_normalize(img, bb, 48, 1.2, normalize=False)
+    assert u8.dtype == np.uint8
+
+    mean = np.array([0.485, 0.456, 0.406]).reshape(3, 1, 1)
+    std = np.array([0.229, 0.224, 0.225]).reshape(3, 1, 1)
+    renorm = (u8.astype(np.float32) / 255.0 - mean) / std
+    # half an LSB in the worst (smallest-std) channel
+    assert np.abs(renorm - f32).max() <= 0.5 / 255.0 / std.min() + 1e-6
+
+
+def test_crop_u8_numpy_fallback_matches_native():
+    if not native.have_native():
+        pytest.skip("native lib unavailable")
+    rs = np.random.RandomState(4)
+    img = (rs.rand(80, 100, 3) * 255).astype(np.uint8)
+    bb = np.array([[50.0, 40.0, 30.0, 30.0]], np.float32)
+    nat = native.crop_normalize(img, bb, 32, 1.1, normalize=False)
+    ref = native._crop_normalize_numpy(img, bb.astype(np.float32), 32, 1.1,
+                                normalize=False)
+    assert np.abs(nat.astype(int) - ref.astype(int)).max() <= 1
