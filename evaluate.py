@@ -141,7 +141,8 @@ def run_eval(cfg, args, synthetic: bool = False):
     # ---- bucket videos by padded length to bound compile count ------------
     names = [n for n in data if len(data[n]["features"]) >= S]
     lengths = {n: len(data[n]["features"]) for n in names}
-    bucket = lambda n: -(-lengths[n] // 128) * 128
+    bsz = getattr(args, "eval_bucket", 128)
+    bucket = lambda n: -(-lengths[n] // bsz) * bsz
     buckets = {}
     for n in names:
         buckets.setdefault(bucket(n), []).append(n)
@@ -160,12 +161,16 @@ def run_eval(cfg, args, synthetic: bool = False):
     weight_flats = tuple(jnp.asarray(f)
                          for f in weights_packer.pack_np(weights_template))
 
-    MAX_B = 8
+    # batch=32 / bucket=128 measured best on a 3DPW-like length distribution
+    # (tools/tune_eval_batching.py on v5e: 1987 useful frames/s vs 1877 at
+    # batch 8, and 56s vs 208s first-run compile); partial chunks pad to the
+    # next power of two so program count stays O(log B) per bucket.
+    MAX_B = getattr(args, "eval_batch", 32)
     for T_pad, vids in sorted(buckets.items()):
         W = T_pad - S + 1
         for i in range(0, len(vids), MAX_B):
             chunk = vids[i:i + MAX_B]
-            B = len(chunk)
+            B = 1 << max(len(chunk) - 1, 0).bit_length()
             feats = np.zeros((B, T_pad, 2048), np.float32)
             pseu = np.zeros((B, S - 1, 85), np.float32)
             theta_gt = np.zeros((B, T_pad, 85), np.float32)

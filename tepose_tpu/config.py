@@ -159,6 +159,11 @@ def parse_args(argv: Optional[list] = None):
                         help="plot acceleration error graph")
     parser.add_argument("--frame", type=int, default=0,
                         help="render frame start idx")
+    parser.add_argument("--eval_batch", type=int, default=32,
+                        help="videos per eval-scan call (measured optimum "
+                             "32, tools/tune_eval_batching.py)")
+    parser.add_argument("--eval_bucket", type=int, default=128,
+                        help="video length padding bucket for the eval scan")
 
     args = parser.parse_args(argv)
     cfg_file = args.cfg

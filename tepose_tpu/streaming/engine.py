@@ -187,14 +187,19 @@ class StreamingEngine:
         results: List[Optional[Dict[str, np.ndarray]]] =             [None] * len(features_list)
         for T_pad, idxs in buckets.items():
             B = len(idxs)
-            feats = np.zeros((B, T_pad, 2048), np.float32)
-            pseu = np.zeros((B, S - 1, 85), np.float32)
+            # pad the batch axis to a power of two: bounds the number of
+            # compiled (T_pad, B) programs to O(log B) per length bucket;
+            # rows are independent (eval-mode BN), so pad rows are free to
+            # discard
+            B_pad = 1 << max(B - 1, 0).bit_length()
+            feats = np.zeros((B_pad, T_pad, 2048), np.float32)
+            pseu = np.zeros((B_pad, S - 1, 85), np.float32)
             pseu[:, :, 0] = 1.0
             for b, i in enumerate(idxs):
                 feats[b, :len(features_list[i])] = features_list[i]
                 if theta_pseu_list[i] is not None:
                     pseu[b] = theta_pseu_list[i]
-            fn = self._get_stream_fn((T_pad, B))
+            fn = self._get_stream_fn((T_pad, B_pad))
             out = fn(self._gen_flats, jnp.asarray(feats),
                      jnp.asarray(pseu))
             for b, i in enumerate(idxs):
