@@ -17,6 +17,7 @@ from tepose_tpu.models import layers as L
 from tepose_tpu.models.smpl import (
     SmplModel,
     smpl_forward,
+    smpl_joints_reduced,
     regress_h36m_joints,
     H36M_TO_J14,
 )
@@ -143,12 +144,15 @@ def regressor_apply(
     init_pose: Optional[jnp.ndarray] = None,
     init_shape: Optional[jnp.ndarray] = None,
     init_cam: Optional[jnp.ndarray] = None,
+    compute_verts: bool = True,
 ) -> Dict[str, jnp.ndarray]:
     """IEF regression head. x: (B, 2048) features.
 
     Returns dict (ref: spin.py:284-290):
       theta  (B, 85)  = [cam(3), pose aa(72), shape(10)]
-      verts  (B, V, 3)
+      verts  (B, V, 3)   — omitted when compute_verts=False (the training
+                           loss never reads verts, so the train step uses
+                           the vertex-free joint path, smpl_joints_reduced)
       kp_2d  (B, K, 2)   K = 49, or 14 when j_regressor is given (eval)
       kp_3d  (B, K, 3)
       rotmat (B, 24, 3, 3)
@@ -161,11 +165,17 @@ def regressor_apply(
     pred_rotmat = rot6d_to_rotmat(pred_pose.reshape(-1, 6)).reshape(
         B, 24, 3, 3)
 
-    smpl_out = smpl_forward(smpl, pred_shape, pred_rotmat)
-    pred_vertices = smpl_out["verts"]
-    pred_joints = smpl_out["joints49"]
+    if compute_verts:
+        smpl_out = smpl_forward(smpl, pred_shape, pred_rotmat)
+        pred_vertices = smpl_out["verts"]
+        pred_joints = smpl_out["joints49"]
+    else:
+        pred_vertices = None
+        pred_joints = smpl_joints_reduced(smpl, pred_shape, pred_rotmat)
 
     if (not train) and j_regressor is not None:
+        if pred_vertices is None:
+            raise ValueError("j_regressor path needs compute_verts=True")
         pred_joints = regress_h36m_joints(
             pred_vertices, j_regressor, subset=np.array(H36M_TO_J14))
 
@@ -174,10 +184,12 @@ def regressor_apply(
     pose_aa = rotmat_to_angle_axis(pred_rotmat.reshape(-1, 3, 3)).reshape(
         B, 72)
 
-    return {
+    out = {
         "theta": jnp.concatenate([pred_cam, pose_aa, pred_shape], axis=1),
-        "verts": pred_vertices,
         "kp_2d": pred_kp2d,
         "kp_3d": pred_joints,
         "rotmat": pred_rotmat,
     }
+    if pred_vertices is not None:
+        out["verts"] = pred_vertices
+    return out

@@ -341,6 +341,78 @@ def smpl_forward(
     }
 
 
+def joint_reduction_tensors(model: SmplModel):
+    """Collapse the 49-joint output's dependence on the mesh into small
+    reduction tensors (TPU-new; no reference counterpart).
+
+    Every non-skeleton joint is LINEAR in the posed vertices: 21 joints are
+    one-hot vertex picks and 9 come from `j_regressor_extra`. Folding that
+    (30, V) selection through linear-blend skinning gives per-(joint, bone)
+    blended rest points that are themselves linear in betas and in the
+    pose-corrective feature — so the training path never needs the
+    (B, V, 4, 4) skinning tensor at all (see `smpl_joints_reduced`).
+
+    Returns (A0 (30,24,3), AS (30,24,3,10), AP (30,24,3,207), W1 (30,24)).
+    When the SMPL tensors are jit-closure constants (the training segment),
+    XLA folds this whole precompute at compile time.
+    """
+    V = model.num_verts
+    vjid = np.asarray(model.vertex_joint_ids)
+    sel = jnp.zeros((21, V), model.v_template.dtype)
+    sel = sel.at[np.arange(21), vjid].set(1.0)
+    Wsel = jnp.concatenate([sel, model.j_regressor_extra], axis=0)  # (30, V)
+
+    WW = jnp.einsum("jv,vk->jvk", Wsel, model.lbs_weights)   # (30, V, 24)
+    A0 = jnp.einsum("jvk,vc->jkc", WW, model.v_template)
+    AS = jnp.einsum("jvk,vcl->jkcl", WW, model.shapedirs)
+    # posedirs is stored (207, V*3): reshape to (207, V, 3)
+    pd = model.posedirs.reshape(model.posedirs.shape[0], V, 3)
+    AP = jnp.einsum("jvk,pvc->jkcp", WW, pd)
+    W1 = WW.sum(axis=1)                                      # (30, 24)
+    return A0, AS, AP, W1
+
+
+def smpl_joints_reduced(model: SmplModel, betas: jnp.ndarray,
+                        rot_mats: jnp.ndarray) -> jnp.ndarray:
+    """49-joint output WITHOUT materialising the mesh — exact reordering of
+    the LBS linear algebra (see `joint_reduction_tensors`), within fp
+    reassociation error of `smpl_forward(...)["joints49"]`.
+
+    The training loss only reads joints/theta (ref: lib/core/loss.py:59-171
+    never touches verts), so the train step uses this path: it removes the
+    (B, V, 4, 4) skinning tensor from both the forward and backward pass.
+    betas (B, 10); rot_mats (B, 24, 3, 3). Returns (B, 49, 3).
+    """
+    B = betas.shape[0]
+    A0, AS, AP, W1 = joint_reduction_tensors(model)
+
+    joints_rest = (
+        jnp.einsum("jv,bvk->bjk", model.j_regressor,
+                   model.v_template[None])
+        + jnp.einsum("bl,jkl->bjk",
+                     betas, jnp.einsum("jv,vkl->jkl", model.j_regressor,
+                                       model.shapedirs)))
+    posed_joints, rel_tf = _rigid_transform(rot_mats, joints_rest,
+                                            model.parents)
+
+    ident = jnp.eye(3, dtype=rot_mats.dtype)
+    pose_feature = (rot_mats[:, 1:] - ident).reshape(B, -1)  # (B, 207)
+
+    # blended rest points per (selected joint, bone): linear in betas and
+    # in the pose feature
+    p_sel = (A0[None]
+             + jnp.einsum("bl,jkcl->bjkc", betas, AS)
+             + jnp.einsum("bp,jkcp->bjkc", pose_feature, AP))  # (B,30,24,3)
+
+    R = rel_tf[..., :3, :3]                                   # (B, 24, 3, 3)
+    t = rel_tf[..., :3, 3]                                    # (B, 24, 3)
+    joints_sel = (jnp.einsum("bkic,bjkc->bji", R, p_sel)
+                  + jnp.einsum("jk,bki->bji", W1, t))         # (B, 30, 3)
+
+    joints54 = jnp.concatenate([posed_joints, joints_sel], axis=1)
+    return joints54[:, np.asarray(model.joint_map)]
+
+
 def regress_h36m_joints(
     verts: jnp.ndarray, j_regressor_h36m: jnp.ndarray,
     subset: Optional[np.ndarray] = None,

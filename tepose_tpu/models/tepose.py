@@ -69,12 +69,15 @@ def tepose_apply(
     train: bool = False,
     rng: Optional[jax.Array] = None,
     j_regressor: Optional[jnp.ndarray] = None,
+    compute_verts: bool = True,
 ) -> Dict[str, jnp.ndarray]:
     """x: (B, T, 2133) -> dict of predictions for the window's last frame.
 
     Eval shapes: theta (B, 85), verts (B, V, 3), kp_2d (B, K, 2),
     kp_3d (B, K, 3), rotmat (B, 24, 3, 3).
     Train shapes have an extra repeat axis of 2 after batch.
+    compute_verts=False drops "verts" and uses the vertex-free joint path
+    (models.smpl.smpl_joints_reduced) — the training step's choice.
     """
     B = x.shape[0]
     if cfg.fast_encoder:
@@ -90,7 +93,8 @@ def tepose_apply(
     feature = feature.reshape(-1, feature.shape[-1])  # (B | 2B, 2048)
 
     out = regressor_apply(params["regressor"], smpl, feature, train=train,
-                          rng=rng, j_regressor=j_regressor)
+                          rng=rng, j_regressor=j_regressor,
+                          compute_verts=compute_verts)
 
     if train:
         # (B*2, ...) -> (B, 2, ...)

@@ -147,3 +147,25 @@ def test_h36m_regressor_path(rng):
     ref = np.asarray(jreg) @ np.asarray(out["verts"][0])
     np.testing.assert_allclose(
         np.asarray(j14[0]), ref[np.array(H36M_TO_J14)], atol=1e-5)
+
+
+def test_smpl_joints_reduced_matches_full(rng):
+    """The vertex-free joint path (joint selection folded through LBS) must
+    equal smpl_forward's joints49 up to fp reassociation."""
+    import jax.numpy as jnp
+
+    from tepose_tpu.models.smpl import (
+        smpl_forward, smpl_joints_reduced, synthetic_smpl_model)
+    from tepose_tpu.ops.geometry import batch_rodrigues
+
+    for num_verts in (96, 480):
+        model = synthetic_smpl_model(seed=1, num_verts=num_verts)
+        B = 4
+        betas = jnp.asarray(rng.randn(B, 10).astype(np.float32) * 0.5)
+        aa = rng.randn(B, 24, 3).astype(np.float32) * 0.4
+        rot = batch_rodrigues(jnp.asarray(aa))
+
+        full = smpl_forward(model, betas, rot)["joints49"]
+        reduced = smpl_joints_reduced(model, betas, rot)
+        np.testing.assert_allclose(np.asarray(reduced), np.asarray(full),
+                                   atol=3e-6)
