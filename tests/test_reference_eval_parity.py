@@ -367,3 +367,29 @@ def test_eval_rollout_parity(ref_env):
             ((ref_verts - gt_verts) ** 2).sum(-1)).mean(-1)
         np.testing.assert_allclose(np.asarray(out["mpvpe"][0]), ref_mpvpe,
                                    atol=3e-4)
+
+
+def test_train_time_accel_metrics_parity(ref_env):
+    """Validation accel metrics (video-masked normalisation quirks) vs the
+    reference's own compute_accel / compute_error_accel
+    (eval_utils.py:53-107)."""
+    from lib.utils.eval_utils import compute_accel, compute_error_accel
+
+    from tepose_tpu.eval.metrics import (
+        accel_error_masked, accel_magnitude_masked)
+
+    rs = np.random.RandomState(5)
+    B, T, K, seqlen = 4, 20, 14, 6
+    joints = rs.randn(B, T, K, 3).astype(np.float32)
+    target = rs.randn(B, T, K, 3).astype(np.float32)
+    vidlen = np.array([20, 14, 17, 9], np.float32)
+
+    ref_mag = float(compute_accel(joints, torch.from_numpy(vidlen), seqlen))
+    ref_err = float(compute_error_accel(target, joints,
+                                        torch.from_numpy(vidlen), seqlen))
+
+    np.testing.assert_allclose(
+        accel_magnitude_masked(joints, vidlen, seqlen), ref_mag, rtol=1e-6)
+    np.testing.assert_allclose(
+        accel_error_masked(joints, target, vidlen, seqlen), ref_err,
+        rtol=1e-6)
