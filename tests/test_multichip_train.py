@@ -88,7 +88,7 @@ def test_dp_segment_matches_single_device(rng):
         jax.tree_util.tree_map(np.asarray, gen8))
     assert len(flat1) == len(flat8)
     for a, b in zip(flat1, flat8):
-        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(b, a, rtol=1e-3, atol=5e-5)
 
 
 def test_divisibility_guard():
