@@ -119,3 +119,58 @@ def test_h36m_builder(tmp_path, rng):
     # root-centred: spin joint 39 ('hip') is zero
     np.testing.assert_allclose(db["joints3D"][:, 39], 0.0, atol=1e-5)
     assert db["features"].shape == (m, 2048)
+
+
+def test_insta_sequence_example_pure_python_parser(rng):
+    """The TF-free SequenceExample decoder must match tensorflow's parser on
+    a real serialized record (and the insta builder's _parse_example must
+    produce identical frames/keypoints through both paths)."""
+    tf = pytest.importorskip("tensorflow")
+    import insta as insta_builder
+
+    T, K = 5, 25
+    frames = [bytes(rng.randint(0, 255, 200).astype(np.uint8))
+              for _ in range(T)]
+    xys = rng.randn(T, 2, K).astype(np.float32)
+    vis = (rng.rand(T, K) > 0.3).astype(np.int64)
+
+    def feat_bytes(b):
+        return tf.train.Feature(
+            bytes_list=tf.train.BytesList(value=[b]))
+
+    def feat_floats(a):
+        return tf.train.Feature(
+            float_list=tf.train.FloatList(value=a.reshape(-1).tolist()))
+
+    def feat_ints(a):
+        return tf.train.Feature(
+            int64_list=tf.train.Int64List(value=a.reshape(-1).tolist()))
+
+    ex = tf.train.SequenceExample(
+        context=tf.train.Features(
+            feature={"meta/N": feat_ints(np.array([T]))}),
+        feature_lists=tf.train.FeatureLists(feature_list={
+            "image/encoded": tf.train.FeatureList(
+                feature=[feat_bytes(f) for f in frames]),
+            "image/xys": tf.train.FeatureList(
+                feature=[feat_floats(xys[t]) for t in range(T)]),
+            "image/vis": tf.train.FeatureList(
+                feature=[feat_ints(vis[t]) for t in range(T)]),
+        }))
+    raw = ex.SerializeToString()
+
+    # low-level decoder
+    fl = insta_builder.parse_sequence_example_py(raw)
+    assert [v[0] for v in fl["image/encoded"]] == frames
+    np.testing.assert_allclose(
+        np.stack([np.asarray(v) for v in fl["image/xys"]]),
+        xys.reshape(T, -1))
+    np.testing.assert_array_equal(
+        np.stack([np.asarray(v) for v in fl["image/vis"]]),
+        vis)
+
+    # builder-level: TF path vs pure-python path agree exactly
+    f_tf, k_tf = insta_builder._parse_example(raw, have_tf=True)
+    f_py, k_py = insta_builder._parse_example(raw, have_tf=False)
+    assert f_tf == f_py
+    np.testing.assert_allclose(k_py, k_tf)

@@ -110,13 +110,113 @@ def read_data(folder: str, out_path: str = None, backbone=None) -> str:
     return out_path
 
 
+def _read_varint(buf: bytes, pos: int):
+    shift = 0
+    out = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, pos
+        shift += 7
+
+
+def _iter_fields(buf: bytes):
+    """Yield (field_number, wire_type, value) over one protobuf message.
+    Only wire types 0 (varint), 2 (length-delimited) and 5 (32-bit) appear
+    in tf.train protos."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        tag, pos = _read_varint(buf, pos)
+        field, wt = tag >> 3, tag & 7
+        if wt == 0:
+            val, pos = _read_varint(buf, pos)
+        elif wt == 2:
+            ln, pos = _read_varint(buf, pos)
+            val = buf[pos:pos + ln]
+            pos += ln
+        elif wt == 5:
+            val = buf[pos:pos + 4]
+            pos += 4
+        else:
+            raise ValueError(f"unsupported wire type {wt}")
+        yield field, wt, val
+
+
+def _parse_feature(buf: bytes):
+    """tf.train.Feature -> list of bytes / np.float32 / np.int64 values."""
+    for field, wt, val in _iter_fields(buf):
+        if field == 1:      # BytesList { repeated bytes value = 1; }
+            return [v for f, _, v in _iter_fields(val) if f == 1]
+        if field == 2:      # FloatList { repeated float value = 1 [packed]; }
+            out = []
+            for f, w, v in _iter_fields(val):
+                if f != 1:
+                    continue
+                if w == 2:  # packed
+                    out.append(np.frombuffer(v, "<f4"))
+                else:       # unpacked 32-bit
+                    out.append(np.frombuffer(v, "<f4"))
+            return np.concatenate(out) if out else np.zeros(0, np.float32)
+        if field == 3:      # Int64List, packed varints
+            out = []
+            for f, w, v in _iter_fields(val):
+                if f != 1:
+                    continue
+                if w == 2:
+                    p = 0
+                    while p < len(v):
+                        x, p = _read_varint(v, p)
+                        out.append(x)
+                else:
+                    out.append(v)
+            return np.asarray(out, np.int64)
+    return []
+
+
+def parse_sequence_example_py(raw: bytes):
+    """Pure-python tf.train.SequenceExample decoder (wire format only —
+    no tensorflow). Returns {key: [per-step feature values]} for the
+    feature_lists map; context features are ignored (the InstaVariety
+    reader only needs the per-step lists)."""
+    feature_lists = {}
+    for field, _, val in _iter_fields(raw):
+        if field != 2:  # SequenceExample.feature_lists
+            continue
+        for f2, _, entry in _iter_fields(val):
+            if f2 != 1:  # FeatureLists.feature_list map entry
+                continue
+            key, flist = None, []
+            for f3, _, v3 in _iter_fields(entry):
+                if f3 == 1:
+                    key = v3.decode()
+                elif f3 == 2:  # FeatureList { repeated Feature feature = 1 }
+                    for f4, _, v4 in _iter_fields(v3):
+                        if f4 == 1:
+                            flist.append(_parse_feature(v4))
+            if key is not None:
+                feature_lists[key] = flist
+    return feature_lists
+
+
 def _parse_example(raw: bytes, have_tf: bool):
     """Decode one InstaVariety SequenceExample: jpeg frames + (T, 25, 3)
     keypoints ('insta' format, ref: insta_utils.py:102-200)."""
     if not have_tf:
-        raise RuntimeError(
-            "tensorflow is required to parse InstaVariety SequenceExamples; "
-            "install TF or convert the tfrecords externally")
+        fl = parse_sequence_example_py(raw)
+        if "image/encoded" not in fl:
+            return None, None
+        frames = [v[0] for v in fl["image/encoded"]]
+        T = len(frames)
+        xys = np.stack([np.asarray(v, np.float32)
+                        for v in fl["image/xys"]]).reshape(
+            T, 2, -1).transpose(0, 2, 1)
+        vis = np.stack([np.asarray(v, np.int64)
+                        for v in fl["image/vis"]]).reshape(T, -1, 1)
+        kps = np.concatenate([xys, vis.astype(np.float32)], axis=2)
+        return frames, kps
     import tensorflow as tf
 
     ctx_desc = {"meta/N": tf.io.FixedLenFeature([], tf.int64)}
