@@ -307,3 +307,78 @@ def test_gcn_discriminator_parity(ref_env):
     params, state = convert_torch_discriminator(model.state_dict())
     out, _ = motion_discriminator_apply(params, state, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Geometry kernels vs lib/utils/geometry.py (the reference's own code)
+# ---------------------------------------------------------------------------
+
+
+def test_geometry_kernels_vs_reference(ref_env):
+    import jax.numpy as jnp2
+
+    from lib.utils import geometry as rg
+
+    from tepose_tpu.ops.geometry import (
+        batch_rodrigues, estimate_translation, rot6d_to_rotmat,
+        rotmat_to_angle_axis)
+
+    rs = np.random.RandomState(13)
+
+    # axis-angle -> rotmat, incl. the +1e-8 quirk and near-zero angles
+    aa = np.concatenate([rs.randn(32, 3).astype(np.float32) * 0.8,
+                         np.zeros((2, 3), np.float32),
+                         np.full((2, 3), 1e-7, np.float32)])
+    ref_rm = rg.batch_rodrigues(torch.from_numpy(aa)).numpy().reshape(
+        -1, 3, 3)
+    our_rm = np.asarray(batch_rodrigues(
+        jnp2.asarray(aa.reshape(-1, 1, 3)))).reshape(-1, 3, 3)
+    np.testing.assert_allclose(our_rm, ref_rm, atol=1e-6)
+
+    # rot6d -> rotmat
+    x6 = rs.randn(40, 6).astype(np.float32)
+    ref6 = rg.rot6d_to_rotmat(torch.from_numpy(x6.copy())).numpy()
+    our6 = np.asarray(rot6d_to_rotmat(jnp2.asarray(x6)))
+    np.testing.assert_allclose(our6, ref6, atol=1e-5)
+
+    # rotmat -> axis-angle on valid rotations
+    ref_aa = rg.rotation_matrix_to_angle_axis(
+        torch.from_numpy(ref_rm)).numpy()
+    our_aa = np.asarray(rotmat_to_angle_axis(jnp2.asarray(ref_rm)))
+    np.testing.assert_allclose(our_aa, ref_aa, atol=1e-5)
+
+    # weighted-least-squares camera translation
+    S3 = rs.randn(3, 49, 3).astype(np.float32) * 0.3
+    j2d = rs.randn(3, 49, 3).astype(np.float32)
+    j2d[..., 2] = rs.rand(3, 49)
+    ref_t = rg.estimate_translation(torch.from_numpy(S3),
+                                    torch.from_numpy(j2d)).numpy()
+    our_t = np.asarray(estimate_translation(S3, j2d))
+    np.testing.assert_allclose(our_t, ref_t, atol=1e-4)
+
+
+def test_vibe_bidirectional_parity(ref_env):
+    """The bidirectional VIBE encoder variant (vibe.py:46-47: 2H -> 2048
+    linear after a bidirectional GRU)."""
+    from lib.models.vibe import VIBE
+
+    torch.manual_seed(15)
+    model = VIBE(seqlen=7, n_layers=2, hidden_size=512, add_linear=True,
+                 bidirectional=True, use_residual=True, pretrained="")
+    model.eval()
+
+    x = np.random.RandomState(15).randn(2, 7, 2048).astype(np.float32) * 0.2
+    with torch.no_grad():
+        ref = model(torch.from_numpy(x), J_regressor=None)[-1]
+
+    from tepose_tpu.models.tepose import vibe_apply
+
+    params = convert_torch_generator(model.state_dict(),
+                                     has_vibe_encoder=True)
+    cfg = VibeConfig(seqlen=7, n_layers=2, hidden_size=512, add_linear=True,
+                     bidirectional=True)
+    out = vibe_apply(params, ref_env["smpl"], jnp.asarray(x), cfg)
+    np.testing.assert_allclose(np.asarray(out["theta"]),
+                               ref["theta"].numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["kp_3d"]),
+                               ref["kp_3d"].numpy(), atol=2e-5)
