@@ -1,18 +1,19 @@
 """Optimised streaming scan built on the lane-batched fast encoder.
 
 Equivalent to the plain tepose_apply window scan (tested). Measured on a
-v5e chip (96 windows, full SMPL + IEF per window):
+v5e chip:
 
-  plain scan   B=64:  37.5k FPS   B=256: 154k FPS
-  this scan    B=64: 123.9k FPS   B=256: 118k FPS
+  96 windows  (early):  plain B=64:  37.5k FPS   fast B=64: 123.9k FPS
+  480 windows (bench.py, 2026-08): plain B=256: 135.9k FPS
+                                   fast  B=256: 190.5k FPS
 
-i.e. the lane-batched encoder wins decisively at small batch (the latency
-regime of per-tracklet demo streaming) while the plain scan's independent
-2-D matmuls tile better once the batch alone fills the MXU. A variant that
-carried per-frame feature *projections* in the scan (avoiding the layer-0
-input projections entirely) measured slower at every batch size — the
-(B, S, 3, 3H) carry costs more HBM traffic than the matmuls it saves — so
-projections are recomputed per window here.
+i.e. the lane-batched encoder wins at small batch (per-tracklet demo
+latency) AND, on long segments, at large batch — bench.py measures both
+every run and takes the better one, so trust BENCH_r*.json over any static
+table here. A variant that carried per-frame feature *projections* in the
+scan (avoiding the layer-0 input projections entirely) measured slower at
+every batch size — the (B, S, 3, 3H) carry costs more HBM traffic than the
+matmuls it saves — so projections are recomputed per window here.
 """
 
 from __future__ import annotations
