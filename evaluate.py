@@ -141,7 +141,14 @@ def run_eval(cfg, args, synthetic: bool = False):
     # ---- bucket videos by padded length to bound compile count ------------
     names = [n for n in data if len(data[n]["features"]) >= S]
     lengths = {n: len(data[n]["features"]) for n in names}
-    bsz = getattr(args, "eval_bucket", 128)
+    # Measured per-dataset optima (tools/tune_eval_batching.py on v5e):
+    # short-video sets (3dpw: median ~500 frames) want big batches —
+    # batch 32/bucket 128 = 1987 useful fps vs 1877 at batch 8; long-video
+    # sets (h36m-like: median ~1500) want SMALL batches — the host-side
+    # packing of a 32-wide long-T call serialises against the device, so
+    # batch 8/bucket 256 = 1501 fps vs 1373 at batch 32.
+    long_videos = dataset != "3dpw"
+    bsz = getattr(args, "eval_bucket", None) or (256 if long_videos else 128)
     bucket = lambda n: -(-lengths[n] // bsz) * bsz
     buckets = {}
     for n in names:
@@ -161,11 +168,9 @@ def run_eval(cfg, args, synthetic: bool = False):
     weight_flats = tuple(jnp.asarray(f)
                          for f in weights_packer.pack_np(weights_template))
 
-    # batch=32 / bucket=128 measured best on a 3DPW-like length distribution
-    # (tools/tune_eval_batching.py on v5e: 1987 useful frames/s vs 1877 at
-    # batch 8, and 56s vs 208s first-run compile); partial chunks pad to the
-    # next power of two so program count stays O(log B) per bucket.
-    MAX_B = getattr(args, "eval_batch", 32)
+    # partial chunks pad to the next power of two so program count stays
+    # O(log B) per bucket (see the batching note above for the defaults)
+    MAX_B = getattr(args, "eval_batch", None) or (8 if long_videos else 32)
     for T_pad, vids in sorted(buckets.items()):
         W = T_pad - S + 1
         for i in range(0, len(vids), MAX_B):

@@ -159,11 +159,15 @@ def parse_args(argv: Optional[list] = None):
                         help="plot acceleration error graph")
     parser.add_argument("--frame", type=int, default=0,
                         help="render frame start idx")
-    parser.add_argument("--eval_batch", type=int, default=32,
-                        help="videos per eval-scan call (measured optimum "
-                             "32, tools/tune_eval_batching.py)")
-    parser.add_argument("--eval_bucket", type=int, default=128,
-                        help="video length padding bucket for the eval scan")
+    parser.add_argument("--eval_batch", type=int, default=None,
+                        help="videos per eval-scan call; default is the "
+                             "measured per-dataset optimum (32 for 3dpw, 8 "
+                             "for long-video sets; tools/"
+                             "tune_eval_batching.py)")
+    parser.add_argument("--eval_bucket", type=int, default=None,
+                        help="video length padding bucket for the eval scan "
+                             "(measured default: 128 for 3dpw, 256 for "
+                             "long-video sets)")
 
     args = parser.parse_args(argv)
     cfg_file = args.cfg
