@@ -147,9 +147,8 @@ def measure_end_to_end(cfg, smpl, params, n_streams=8, frames=120):
              for _ in range(n_streams)]
 
     def run_once():
-        feats = [engine.extract_features(c) for c in crops]
-        outs = engine.run_tracklets(feats)
-        return outs
+        # fused crops->features->scan->verts: ONE upload + ONE readback
+        return engine.run_tracklets_from_crops(crops)
 
     outs = run_once()  # warmup/compile (features + both scan buckets)
     assert outs[0]["verts"].shape == (frames, smpl.num_verts, 3)
@@ -160,7 +159,27 @@ def measure_end_to_end(cfg, smpl, params, n_streams=8, frames=120):
     for _ in range(reps):
         outs = run_once()  # run_tracklets already syncs via np.asarray
     dt = (time.time() - t0) / reps
-    return n_streams * frames / dt
+    full_fps = n_streams * frames / dt
+
+    # device-compute-only: same fused program with crops pre-staged in HBM
+    # and outputs left on device. Isolates the accelerator from the axon
+    # link (~0.5 s/call + tens of ms/MB, which dominates the full-path
+    # number above; a real v5e host's PCIe does not).
+    fn = engine._get_fused_fn((frames, n_streams, np.dtype(np.uint8).str))
+    crops_dev = jax.device_put(jnp.asarray(np.stack(crops)))
+    pseu = np.zeros((n_streams, cfg.seqlen - 1, 85), np.float32)
+    pseu[:, :, 0] = 1.0
+    pseu_dev = jax.device_put(jnp.asarray(pseu))
+
+    def dev_once():
+        out = fn(engine._bb_flats, engine._gen_flats, crops_dev, pseu_dev)
+        np.asarray(out["theta"][-1, -1, :1])  # tiny sync readback
+    dev_once()  # warmup (shape already compiled by run_once)
+    t0 = time.time()
+    for _ in range(reps):
+        dev_once()
+    dev_fps = n_streams * frames / ((time.time() - t0) / reps)
+    return full_fps, dev_fps
 
 
 def main() -> None:
@@ -178,7 +197,7 @@ def main() -> None:
     ctx = trace(profile_dir) if profile_dir else contextlib.nullcontext()
     with ctx:
         plain_fps, fast_fps = measure_window_scans(cfg, smpl, packer, flats)
-        e2e_fps = measure_end_to_end(cfg, smpl, params)
+        e2e_fps, e2e_dev_fps = measure_end_to_end(cfg, smpl, params)
 
     best = max(plain_fps, fast_fps)
     print(json.dumps({
@@ -191,9 +210,11 @@ def main() -> None:
             "windows_scan_plain_fps": round(plain_fps, 1),
             "windows_scan_fast_fps": round(fast_fps, 1),
             "end_to_end_crops_to_verts_fps": round(e2e_fps, 1),
-            "end_to_end_note": "8 streams x 120 frames of raw 224x224 crops "
-                               "through ResNet-50 + windows scan + SMPL verts "
-                               "(demo.py:171-252 path incl. host transfers)",
+            "end_to_end_device_compute_fps": round(e2e_dev_fps, 1),
+            "end_to_end_note": "8 streams x 120 frames of raw 224x224 u8 "
+                               "crops through one fused ResNet-50 + windows "
+                               "scan + SMPL verts program (demo.py:171-252 "
+                               "path incl. host transfers, f32 outputs)",
         },
     }))
 

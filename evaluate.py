@@ -110,7 +110,7 @@ def synthetic_eval_data(num_videos=3, min_len=40, max_len=90, seed=0):
     return data
 
 
-def run_eval(cfg, args, synthetic: bool = False):
+def run_eval(cfg, args, synthetic: bool = False, devices: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -162,6 +162,23 @@ def run_eval(cfg, args, synthetic: bool = False):
     tot_frames = 0
     t_start = time.time()
 
+    mesh = None
+    if devices > 1:
+        from tepose_tpu.parallel.mesh import make_mesh, replicate
+
+        if len(jax.devices()) < devices:
+            sys.exit(f"--devices {devices} requested but only "
+                     f"{len(jax.devices())} JAX devices are visible")
+        mesh = make_mesh(devices)
+        print(f"=> data-parallel eval over {devices} devices: "
+              f"{[str(d) for d in mesh.devices.flat]}")
+        # replicated weight pytrees (packed single-buffer IO is an
+        # axon-tunnel optimisation, unnecessary on a real pod — see
+        # parallel/dp.py for the same choice in training)
+        gen_r = replicate(gen, mesh)
+        vibe_r = replicate(vibe, mesh)
+        jreg_r = replicate(jnp.asarray(j_regressor), mesh)
+
     # pack the fixed weights once (see utils.packing for why)
     weights_template = (gen, vibe, pack_smpl(smpl), j_regressor)
     weights_packer = FlatPacker(weights_template)
@@ -176,6 +193,10 @@ def run_eval(cfg, args, synthetic: bool = False):
         for i in range(0, len(vids), MAX_B):
             chunk = vids[i:i + MAX_B]
             B = 1 << max(len(chunk) - 1, 0).bit_length()
+            if mesh is not None:
+                # mesh mode: round up to a multiple of the device count so
+                # the batch axis splits evenly (pad rows are independent)
+                B = max(B, -(-B // devices) * devices)
             feats = np.zeros((B, T_pad, 2048), np.float32)
             pseu = np.zeros((B, S - 1, 85), np.float32)
             theta_gt = np.zeros((B, T_pad, 85), np.float32)
@@ -190,14 +211,27 @@ def run_eval(cfg, args, synthetic: bool = False):
             data_batch = {"feats": feats, "theta_pseu": pseu,
                           "theta_gt": theta_gt}
             key = (W, B)
-            if key not in eval_fns:
-                dp = FlatPacker(data_batch)
-                eval_fns[key] = (make_packed_eval_scan(
-                    smpl, mcfg, vcfg, W, use_jreg, weights_packer, dp), dp)
-            fn, dp = eval_fns[key]
-            data_flats = tuple(jnp.asarray(f)
-                               for f in dp.pack_np(data_batch))
-            pj, pt, mp = fn(weight_flats, data_flats)
+            if mesh is not None:
+                if key not in eval_fns:
+                    from tepose_tpu.eval.evaluator import \
+                        make_sharded_eval_scan
+                    eval_fns[key] = make_sharded_eval_scan(
+                        smpl, mcfg, vcfg, W, use_jreg, mesh)
+                fn, _, place_data = eval_fns[key]
+                sharded = place_data(data_batch)
+                pj, pt, mp = fn(gen_r, vibe_r, sharded["feats"],
+                                sharded["theta_pseu"],
+                                sharded["theta_gt"], jreg_r)
+            else:
+                if key not in eval_fns:
+                    dp = FlatPacker(data_batch)
+                    eval_fns[key] = (make_packed_eval_scan(
+                        smpl, mcfg, vcfg, W, use_jreg, weights_packer, dp),
+                        dp)
+                fn, dp = eval_fns[key]
+                data_flats = tuple(jnp.asarray(f)
+                                   for f in dp.pack_np(data_batch))
+                pj, pt, mp = fn(weight_flats, data_flats)
             pred_j3d = np.asarray(pj)
             pred_theta = np.asarray(pt)
             mpvpe = np.asarray(mp)
@@ -337,14 +371,20 @@ def main():
         i = sys.argv.index("--precision")
         precision = sys.argv[i + 1]
         del sys.argv[i:i + 2]
+    devices = 1
+    if "--devices" in sys.argv:
+        i = sys.argv.index("--devices")
+        devices = sys.argv[i + 1]
+        del sys.argv[i:i + 2]
+        devices = len(jax.devices()) if devices == "auto" else int(devices)
     cfg, cfg_file, args = parse_args()
     if precision in ("float32", "highest"):
         # strict-parity mode: f32 matmuls use full-precision passes (the TPU
         # default is the fast bf16-pass mode, ~4x faster but ~1e-3 relative
         # error — fine for training, borderline for 0.1mm metric parity)
         with jax.default_matmul_precision("float32"):
-            return run_eval(cfg, args, synthetic=synthetic)
-    return run_eval(cfg, args, synthetic=synthetic)
+            return run_eval(cfg, args, synthetic=synthetic, devices=devices)
+    return run_eval(cfg, args, synthetic=synthetic, devices=devices)
 
 
 if __name__ == "__main__":

@@ -141,6 +141,40 @@ def make_packed_eval_scan(smpl: SmplModel, model_cfg: TePoseConfig,
     return fn
 
 
+def make_sharded_eval_scan(smpl: SmplModel, model_cfg: TePoseConfig,
+                           vibe_cfg: VibeConfig, num_windows: int,
+                           use_j_regressor: bool, mesh):
+    """Mesh-parallel eval scan: videos shard over the mesh's data axis.
+
+    Eval is embarrassingly data-parallel — each video's theta-feedback chain
+    is independent (no BN, no cross-sample coupling; SURVEY.md §7 "hard
+    parts"), so replicating the weights and sharding the batch axis lets
+    GSPMD run each device's slice with zero collectives. The reference has
+    no multi-GPU eval at all (SURVEY.md §2.6).
+
+    Returns (fn, place_weights, place_data):
+      fn(gen, vibe, feats, theta_pseu, theta_gt, j_regressor)
+        -> (pred_j3d, pred_theta, mpvpe), same numerics as make_eval_scan;
+      place_weights(tree)  — replicate a pytree over the mesh;
+      place_data(tree)     — shard leading (batch) axes over the mesh.
+    """
+    from tepose_tpu.parallel.mesh import replicate, shard_batch
+
+    inner = _eval_fn_body(smpl, model_cfg, vibe_cfg, num_windows,
+                          use_j_regressor)
+
+    @jax.jit
+    def fn(gen_params, vibe_params, feats, theta_pseu, theta_gt,
+           j_regressor):
+        out = inner(gen_params, vibe_params, feats, theta_pseu, theta_gt,
+                    j_regressor)
+        return out["pred_j3d"], out["pred_theta"], out["mpvpe"]
+
+    return (fn,
+            lambda tree: replicate(tree, mesh),
+            lambda tree: shard_batch(tree, mesh))
+
+
 @dataclasses.dataclass
 class EvalAccumulator:
     """Host-side per-video metric aggregation, reference conventions.

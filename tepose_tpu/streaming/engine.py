@@ -36,18 +36,46 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
+def _backbone_chunk(bb_params, crops, dtype=None):
+    """Normalise one crop chunk and run the backbone, returning f32 features.
+
+    uint8 crops get ImageNet normalisation here on the accelerator —
+    shipping u8 over the link is 4x cheaper than f32 (see
+    native.crop_normalize(normalize=False)). `dtype=jnp.bfloat16` casts
+    weights + activations for the conv stack (MXU bf16 passes), f32 out.
+    """
+    if crops.dtype == jnp.uint8:
+        mean = jnp.asarray([0.485, 0.456, 0.406],
+                           jnp.float32).reshape(1, 3, 1, 1)
+        std = jnp.asarray([0.229, 0.224, 0.225],
+                          jnp.float32).reshape(1, 3, 1, 1)
+        crops = (crops.astype(jnp.float32) / 255.0 - mean) / std
+    if dtype is not None:
+        bb_params = jax.tree_util.tree_map(lambda x: x.astype(dtype),
+                                           bb_params)
+        crops = crops.astype(dtype)
+    return resnet50_features(bb_params, crops).astype(jnp.float32)
+
+
 class StreamingEngine:
     """Per-tracklet streaming inference with device-resident weights."""
 
     def __init__(self, smpl: SmplModel, tepose_params, vibe_params,
                  backbone_params, model_cfg: TePoseConfig,
                  vibe_cfg: VibeConfig, crop_batch: int = 32,
-                 window_bucket: int = 64):
+                 window_bucket: int = 64, max_frames_per_call: int = 4096,
+                 backbone_dtype=None):
         self.smpl = smpl
         self.model_cfg = model_cfg
         self.vibe_cfg = vibe_cfg
         self.crop_batch = crop_batch
         self.window_bucket = window_bucket
+        # bounds one transfer to ~600 MB of u8 crops at the default batch
+        self.max_frames_per_call = max_frames_per_call
+        # None = f32 (strict parity). jnp.bfloat16 runs the ResNet-50 in
+        # bf16 (measured 1.43x on v5e, ~0.13% relative feature error) —
+        # the live-demo speed knob; eval paths should stay f32.
+        self.backbone_dtype = backbone_dtype
         # per-stage wall timing (utils.profiling.StageTimer); the dict
         # view keeps the old `engine.timings["features"]` API working
         self.timers = StageTimer()
@@ -65,24 +93,9 @@ class StreamingEngine:
             jax.device_put(jnp.asarray(f))
             for f in self._gen_packer.pack_np(gen_template))
 
-        bbp = self._bb_packer
-
-        @jax.jit
-        def features_fn(flats, crops):
-            params = bbp.unpack(flats)
-            if crops.dtype == jnp.uint8:
-                # raw uint8 crops: ImageNet normalisation happens here on
-                # the accelerator — shipping u8 over the link is 4x cheaper
-                # than f32 (see native.crop_normalize(normalize=False))
-                mean = jnp.asarray([0.485, 0.456, 0.406],
-                                   jnp.float32).reshape(1, 3, 1, 1)
-                std = jnp.asarray([0.229, 0.224, 0.225],
-                                  jnp.float32).reshape(1, 3, 1, 1)
-                crops = (crops.astype(jnp.float32) / 255.0 - mean) / std
-            return resnet50_features(params, crops)
-
-        self._features_fn = features_fn
+        self._features_fns: Dict[tuple, callable] = {}
         self._stream_fns: Dict[int, callable] = {}
+        self._fused_fns: Dict[tuple, callable] = {}
 
     # ------------------------------------------------------------------ feats
 
@@ -91,32 +104,67 @@ class StreamingEngine:
         return {k: v for k, v in self.timers.totals.items()}
 
     def extract_features(self, crops: np.ndarray) -> np.ndarray:
-        """(N, 3, 224, 224) crops -> (N, 2048) features, batched with double
-        buffering. float32 crops must be ImageNet-normalised already; uint8
-        crops are normalised on-device (cheaper to transfer)."""
-        with self.timers.stage("features"):
-            return self._extract_features(crops)
+        """(N, 3, 224, 224) crops -> (N, 2048) features. float32 crops must
+        be ImageNet-normalised already; uint8 crops are normalised on-device
+        (4x cheaper to transfer)."""
+        return self.extract_features_multi([crops])[0]
 
-    def _extract_features(self, crops: np.ndarray) -> np.ndarray:
-        N = len(crops)
-        B = self.crop_batch
-        out = np.zeros((N, 2048), np.float32)
-        pending = []
-        for i in range(0, N, B):
-            chunk = crops[i:i + B]
-            if len(chunk) < B:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((B - len(chunk),) + chunk.shape[1:],
-                                     chunk.dtype)])
-            feats = self._features_fn(self._bb_flats, jnp.asarray(chunk))
-            pending.append((i, min(B, N - i), feats))
-            # drain early to bound in-flight memory, keep 2 in flight
-            if len(pending) > 2:
-                j, n, f = pending.pop(0)
-                out[j:j + n] = np.asarray(f)[:n]
-        for j, n, f in pending:
-            out[j:j + n] = np.asarray(f)[:n]
+    def extract_features_multi(self, crops_list: List[np.ndarray]
+                               ) -> List[np.ndarray]:
+        """Batched multi-tracklet feature extraction in ONE device call.
+
+        All tracklets' crops ship as a single padded buffer and the backbone
+        runs chunk-by-chunk on device via `lax.map` (bounded activation
+        memory at any total length), so the per-call link overhead — ~0.5 s
+        on the axon tunnel, the dominant cost of the old one-call-per-chunk
+        loop — is paid once per `max_frames_per_call` regardless of how many
+        tracklets/chunks there are. ref: demo.py:171-198 (the per-crop
+        feature loop this replaces).
+        """
+        with self.timers.stage("features"):
+            return self._extract_features_multi(crops_list)
+
+    def _extract_features_multi(self, crops_list):
+        if not crops_list:
+            return []
+        lens = [len(c) for c in crops_list]
+        flat = np.concatenate([np.ascontiguousarray(c) for c in crops_list])
+        feats = np.empty((len(flat), 2048), np.float32)
+        for i in range(0, len(flat), self.max_frames_per_call):
+            sub = flat[i:i + self.max_frames_per_call]
+            feats[i:i + len(sub)] = self._extract_features_one_call(sub)
+        out, ofs = [], 0
+        for n in lens:
+            out.append(feats[ofs:ofs + n])
+            ofs += n
         return out
+
+    def _extract_features_one_call(self, crops: np.ndarray) -> np.ndarray:
+        B = self.crop_batch
+        n_chunks = max(-(-len(crops) // B), 1)
+        # pad chunk count to a power of two: O(log N) compiled programs
+        n_chunks = 1 << (n_chunks - 1).bit_length()
+        buf = np.zeros((n_chunks * B,) + crops.shape[1:], crops.dtype)
+        buf[:len(crops)] = crops
+        fn = self._get_features_fn((n_chunks, crops.dtype.str))
+        feats = np.asarray(fn(self._bb_flats, jnp.asarray(
+            buf.reshape((n_chunks, B) + crops.shape[1:]))))
+        return feats.reshape(n_chunks * B, -1)[:len(crops)]
+
+    def _get_features_fn(self, key):
+        if key in self._features_fns:
+            return self._features_fns[key]
+        bbp = self._bb_packer
+        bb_dtype = self.backbone_dtype
+
+        @jax.jit
+        def features_fn(flats, chunks):
+            params = bbp.unpack(flats)
+            return jax.lax.map(
+                lambda c: _backbone_chunk(params, c, bb_dtype), chunks)
+
+        self._features_fns[key] = features_fn
+        return features_fn
 
     # ----------------------------------------------------------------- stream
 
@@ -149,6 +197,97 @@ class StreamingEngine:
 
         self._stream_fns[key] = stream
         return stream
+
+    def run_tracklets_from_crops(self, crops_list: List[np.ndarray],
+                                 theta_pseu_list=None):
+        """Fused crops -> features -> windowed scan -> outputs, ONE device
+        call per length bucket.
+
+        The features never visit the host: the backbone (chunked via
+        `lax.map`), the VIBE bootstrap and the theta-feedback scan run as a
+        single XLA program, so each tracklet bucket costs exactly one crop
+        upload + one output readback. This is the production streaming path
+        (ref: demo.py:171-252 runs crops->features and features->theta as
+        two separate torch loops with a host hop between them).
+
+        crops_list: list of (T_i, 3, 224, 224) u8/f32; returns a list of
+        per-frame output dicts aligned with the input order.
+        """
+        S = self.model_cfg.seqlen
+        for c in crops_list:
+            if len(c) < S:
+                raise ValueError(f"tracklet too short: {len(c)} < {S}")
+        if theta_pseu_list is None:
+            theta_pseu_list = [None] * len(crops_list)
+
+        buckets: Dict[int, list] = {}
+        for i, c in enumerate(crops_list):
+            buckets.setdefault(_round_up(len(c), self.window_bucket),
+                               []).append(i)
+
+        results: List[Optional[Dict[str, np.ndarray]]] = \
+            [None] * len(crops_list)
+        for T_pad, idxs in buckets.items():
+            B_pad = 1 << max(len(idxs) - 1, 0).bit_length()
+            dtype = crops_list[idxs[0]].dtype
+            crops = np.zeros((B_pad, T_pad) + crops_list[idxs[0]].shape[1:],
+                             dtype)
+            pseu = np.zeros((B_pad, S - 1, 85), np.float32)
+            pseu[:, :, 0] = 1.0
+            for b, i in enumerate(idxs):
+                crops[b, :len(crops_list[i])] = crops_list[i]
+                if theta_pseu_list[i] is not None:
+                    pseu[b] = theta_pseu_list[i]
+            fn = self._get_fused_fn((T_pad, B_pad, dtype.str))
+            with self.timers.stage("fused"):
+                out = fn(self._bb_flats, self._gen_flats,
+                         jnp.asarray(crops), jnp.asarray(pseu))
+                host = {k: np.asarray(v) for k, v in out.items()}
+            for b, i in enumerate(idxs):
+                T = len(crops_list[i])
+                results[i] = {k: v[b, :T] for k, v in host.items()}
+        return results
+
+    def _get_fused_fn(self, key):
+        if key in self._fused_fns:
+            return self._fused_fns[key]
+        T_pad, B_pad, _ = key
+        S = self.model_cfg.seqlen
+        W = T_pad - S + 1
+        bbp, packer = self._bb_packer, self._gen_packer
+        smpl_template = self.smpl
+        mcfg, vcfg = self.model_cfg, self.vibe_cfg
+        chunk = self.crop_batch
+        n_chunks = max(-(-(B_pad * T_pad) // chunk), 1)
+        bb_dtype = self.backbone_dtype
+
+        @jax.jit
+        def fused(bb_flats, gen_flats, crops, theta_pseu):
+            bb_params = bbp.unpack(bb_flats)
+            tepose_params, vibe_params, smpl_t = packer.unpack(gen_flats)
+            model = unpack_smpl(smpl_template, smpl_t)
+
+            flat = crops.reshape((-1,) + crops.shape[2:])
+            pad = n_chunks * chunk - flat.shape[0]
+            flat = jnp.pad(flat, ((0, pad), (0, 0), (0, 0), (0, 0)))
+
+            feats = jax.lax.map(
+                lambda c: _backbone_chunk(bb_params, c, bb_dtype),
+                flat.reshape((n_chunks, chunk) + flat.shape[1:]))
+            feats = feats.reshape(-1, 2048)[:B_pad * T_pad]
+            feats = feats.reshape(B_pad, T_pad, 2048)
+
+            vibe_out = vibe_apply(vibe_params, model, feats[:, :S], vcfg)
+            boot = {k: vibe_out[k][:, :S - 1]
+                    for k in ("theta", "verts", "kp_3d", "kp_2d")}
+            scanned = fast_stream_scan(
+                tepose_params, model, feats, theta_pseu, mcfg, W,
+                outputs=("theta", "verts", "kp_3d", "kp_2d"))
+            return {k: jnp.concatenate([boot[k], scanned[k]], axis=1)
+                    for k in boot}
+
+        self._fused_fns[key] = fused
+        return fused
 
     def run_tracklet(self, features: np.ndarray,
                      theta_pseu: Optional[np.ndarray] = None
@@ -202,8 +341,10 @@ class StreamingEngine:
             fn = self._get_stream_fn((T_pad, B_pad))
             out = fn(self._gen_flats, jnp.asarray(feats),
                      jnp.asarray(pseu))
+            # ONE bulk readback per output key (the link charges per call:
+            # per-tracklet sliced reads would cost B x len(out) round trips)
+            host = {k: np.asarray(v) for k, v in out.items()}
             for b, i in enumerate(idxs):
                 T = len(features_list[i])
-                results[i] = {k: np.asarray(v[b, :T])
-                              for k, v in out.items()}
+                results[i] = {k: v[b, :T] for k, v in host.items()}
         return results

@@ -48,6 +48,60 @@ def test_extract_features_shapes(rng):
     assert np.isfinite(feats).all()
 
 
+def test_extract_features_multi_matches_loop(rng):
+    """One-call multi-tracklet extraction == per-tracklet extraction, across
+    chunk boundaries (crop_batch=2 forces several lax.map chunks) and the
+    max_frames_per_call super-chunk split."""
+    eng = _engine()
+    eng.crop_batch = 2
+    eng.max_frames_per_call = 6  # force two one-call super-chunks
+    c1 = rng.randn(3, 3, 224, 224).astype(np.float32)
+    c2 = rng.randn(5, 3, 224, 224).astype(np.float32)
+
+    multi = eng.extract_features_multi([c1, c2])
+    assert [f.shape for f in multi] == [(3, 2048), (5, 2048)]
+    lone1 = eng.extract_features(c1)
+    lone2 = eng.extract_features(c2)
+    np.testing.assert_allclose(multi[0], lone1, atol=1e-5)
+    np.testing.assert_allclose(multi[1], lone2, atol=1e-5)
+    assert eng.extract_features_multi([]) == []
+
+
+def test_run_tracklets_from_crops_matches_two_stage(rng):
+    """The fused crops->features->scan program must equal the two-stage
+    path (extract_features_multi + run_tracklets) bit-for-bit semantics."""
+    eng = _engine()
+    eng.crop_batch = 4  # force several lax.map chunks inside the fusion
+    c1 = (rng.rand(8, 3, 224, 224) * 255).astype(np.uint8)
+    c2 = (rng.rand(10, 3, 224, 224) * 255).astype(np.uint8)
+
+    fused = eng.run_tracklets_from_crops([c1, c2])
+    feats = eng.extract_features_multi([c1, c2])
+    staged = eng.run_tracklets(feats)
+
+    assert fused[0]["theta"].shape == (8, 85)
+    assert fused[1]["verts"].shape == (10, 64, 3)
+    for i in range(2):
+        for k in ("theta", "verts", "kp_3d", "kp_2d"):
+            np.testing.assert_allclose(fused[i][k], staged[i][k],
+                                       atol=1e-4, err_msg=f"{i}/{k}")
+
+
+def test_backbone_bf16_close_to_f32(rng):
+    """bf16 backbone mode (the demo --precision bf16 knob) stays within
+    bf16 rounding of the f32 features, relative to the feature scale."""
+    import jax.numpy as jnp
+
+    eng32 = _engine()
+    eng16 = _engine()
+    eng16.backbone_dtype = jnp.bfloat16
+    crops = (rng.rand(3, 3, 224, 224) * 255).astype(np.uint8)
+    f32 = eng32.extract_features(crops)
+    f16 = eng16.extract_features(crops)
+    scale = np.abs(f32).mean()
+    assert np.abs(f32 - f16).mean() / scale < 0.01
+
+
 def test_extract_features_uint8_matches_float32(rng):
     """uint8 crops (on-device normalisation) must reproduce the f32 path
     within u8 quantization error propagated through the backbone."""

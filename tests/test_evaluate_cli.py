@@ -87,6 +87,19 @@ def test_run_eval_mpii3d(monkeypatch):
     assert np.isfinite(res["mpjpe"]) and np.isfinite(res["pa_mpjpe"])
 
 
+def test_run_eval_devices_matches_single(monkeypatch):
+    """--devices 8 (DP eval over the CPU mesh) reports the same metrics as
+    the single-device packed path on the same data."""
+    monkeypatch.setattr(evaluate, "synthetic_eval_data",
+                        lambda **kw: _tiny_eval_data())
+    single = evaluate.run_eval(_cfg(), _args("3dpw"), synthetic=True)
+    sharded = evaluate.run_eval(_cfg(), _args("3dpw"), synthetic=True,
+                                devices=8)
+    for k in single:
+        np.testing.assert_allclose(sharded[k], single[k], rtol=1e-4,
+                                   err_msg=k)
+
+
 def test_run_eval_filter_path(monkeypatch):
     monkeypatch.setattr(evaluate, "synthetic_eval_data",
                         lambda **kw: _tiny_eval_data(num_videos=1))

@@ -58,6 +58,46 @@ def test_batched_eval_equals_sequential(rng):
                                atol=2e-4)
 
 
+def test_sharded_eval_matches_single_device(rng):
+    """DP eval over the 8-device CPU mesh must reproduce the single-device
+    batched scan exactly (no cross-sample coupling, zero collectives)."""
+    from tepose_tpu.eval.evaluator import make_sharded_eval_scan
+    from tepose_tpu.parallel.mesh import make_mesh
+
+    smpl = synthetic_smpl_model(seed=0, num_verts=64)
+    mcfg = TePoseConfig(seqlen=6, n_layers=1, hidden_size=32)
+    vcfg = VibeConfig(seqlen=6, n_layers=1, hidden_size=32, add_linear=True)
+    gen = tepose_init(jax.random.PRNGKey(0), mcfg)
+    vibe = vibe_init(jax.random.PRNGKey(1), vcfg)
+
+    B, T, S = 8, 14, 6
+    W = T - S + 1
+    feats = rng.randn(B, T, 2048).astype(np.float32) * 0.1
+    pseu = rng.randn(B, S - 1, 85).astype(np.float32) * 0.1
+    theta_gt = rng.randn(B, T, 85).astype(np.float32) * 0.1
+    jreg = rng.rand(17, 64).astype(np.float32)
+
+    single = make_eval_scan(smpl, mcfg, vcfg, W, use_j_regressor=True)(
+        gen, vibe, jnp.asarray(feats), jnp.asarray(pseu),
+        jnp.asarray(theta_gt), jnp.asarray(jreg))
+
+    mesh = make_mesh(8)
+    fn, place_w, place_d = make_sharded_eval_scan(
+        smpl, mcfg, vcfg, W, use_j_regressor=True, mesh=mesh)
+    data = place_d({"feats": feats, "theta_pseu": pseu,
+                    "theta_gt": theta_gt})
+    pj, pt, mp = fn(place_w(gen), place_w(vibe), data["feats"],
+                    data["theta_pseu"], data["theta_gt"],
+                    place_w(jnp.asarray(jreg)))
+
+    np.testing.assert_allclose(np.asarray(pj),
+                               np.asarray(single["pred_j3d"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pt),
+                               np.asarray(single["pred_theta"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mp),
+                               np.asarray(single["mpvpe"]), atol=1e-5)
+
+
 def test_eval_accumulator_conventions(rng):
     acc = EvalAccumulator(dataset="3dpw")
     T = 10
