@@ -153,6 +153,9 @@ class Dataset3D:
         if not is_train and self.dataset_name == "mpii3d":
             item["valid"] = self.db["valid_i"][start:end + 1][-1].astype(
                 np.float32)
+        elif not is_train:
+            # 3dpw/h36m val: all windows valid (ref: dataset_3d.py:303-316)
+            item["valid"] = np.ones(1, np.float32)
         return item
 
 

@@ -109,9 +109,81 @@ def _install_torchvision():
     tv_resnet.resnet50 = resnet50
     tv_models.resnet = tv_resnet
     tv.models = tv_models
+
+    # transforms: the three callables _img_utils.py:322-330 composes.
+    # Standard semantics (ToTensor: HWC u8 -> CHW f32/255; Normalize:
+    # per-channel (x-mean)/std), implemented fresh.
+    class Compose:
+        def __init__(self, ts):
+            self.ts = ts
+
+        def __call__(self, x):
+            for t in self.ts:
+                x = t(x)
+            return x
+
+    class ToTensor:
+        def __call__(self, x):
+            x = np.asarray(x)
+            if x.dtype == np.uint8:
+                x = x.astype(np.float32) / 255.0
+            return torch.from_numpy(x.transpose(2, 0, 1)).float()
+
+    class Normalize:
+        def __init__(self, mean, std):
+            self.mean = torch.tensor(mean).view(-1, 1, 1)
+            self.std = torch.tensor(std).view(-1, 1, 1)
+
+        def __call__(self, x):
+            return (x - self.mean) / self.std
+
+    tv_transforms = types.ModuleType("torchvision.transforms")
+    tv_transforms.Compose = Compose
+    tv_transforms.ToTensor = ToTensor
+    tv_transforms.Normalize = Normalize
+    tv.transforms = tv_transforms
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.models"] = tv_models
     sys.modules["torchvision.models.resnet"] = tv_resnet
+    sys.modules["torchvision.transforms"] = tv_transforms
+
+
+# ---------------------------------------------------------------------------
+# skimage shim: _img_utils.py imports view_as_windows at module level. Fresh
+# implementation of the public API via numpy's sliding_window_view.
+# ---------------------------------------------------------------------------
+
+
+def _install_skimage():
+    if "skimage" in sys.modules:
+        return
+
+    def view_as_windows(arr_in, window_shape, step=1):
+        arr_in = np.asarray(arr_in)
+        if np.isscalar(window_shape):
+            window_shape = (window_shape,) * arr_in.ndim
+        window_shape = tuple(int(w) for w in window_shape)
+        if np.isscalar(step):
+            step = (step,) * arr_in.ndim
+        step = tuple(int(s) for s in step)
+        view = np.lib.stride_tricks.sliding_window_view(arr_in, window_shape)
+        return view[tuple(slice(None, None, s) for s in step)]
+
+    sk = types.ModuleType("skimage")
+    sk.__path__ = []  # mark as package: _occ_utils.py:12 imports skimage.data
+    sk_util = types.ModuleType("skimage.util")
+    sk_shape = types.ModuleType("skimage.util.shape")
+    sk_shape.view_as_windows = view_as_windows
+    sk_util.shape = sk_shape
+    sk.util = sk_util
+    sk_data = types.ModuleType("skimage.data")
+    # only used by _occ_utils' interactive demo path; any image works
+    sk_data.astronaut = lambda: np.zeros((512, 512, 3), np.uint8)
+    sk.data = sk_data
+    sys.modules["skimage"] = sk
+    sys.modules["skimage.util"] = sk_util
+    sys.modules["skimage.util.shape"] = sk_shape
+    sys.modules["skimage.data"] = sk_data
 
 
 # ---------------------------------------------------------------------------
@@ -303,6 +375,11 @@ def install_reference() -> None:
     """Install shims and make `import lib...` resolve to /root/reference."""
     _install_yacs()
     _install_torchvision()
+    _install_skimage()
     _install_smplx()
+    # the reference uses the numpy<1.24 `np.float` alias
+    # (dataset_3d.py:287, dataset_2d.py:156)
+    if not hasattr(np, "float"):
+        np.float = float
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)

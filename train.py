@@ -33,16 +33,23 @@ def synthetic_loaders(cfg, seed=0):
 
     rs = np.random.RandomState(seed)
     vl = cfg.DATASET.VIDLEN
+    sl = cfg.DATASET.SEQLEN
     n_videos = max(6, cfg.TRAIN.BATCH_SIZE + 2)
-    n_clips = max(20, 2 * cfg.TRAIN.BATCH_SIZE)
+    # each 2-channel 2D item packs ~ceil((vidlen-seqlen+2)/(clip-seqlen+1))
+    # clips (chunking.combine_into_chunks), and the 2D batch needs
+    # BATCH_SIZE*DATA_2D_RATIO whole items per step
+    clip_len = 20
+    clips_per_item = -(-(vl - sl + 2) // (clip_len - sl + 1))
+    n_2d = int(round(cfg.TRAIN.BATCH_SIZE * cfg.TRAIN.DATA_2D_RATIO))
+    n_clips = max(20, (n_2d + 2) * clips_per_item)
     db3, pse3 = synthetic_3d_db(
         rs, videos=tuple((vl + 10, f"v{i}") for i in range(n_videos)))
     db2, pse2 = synthetic_2d_db(
-        rs, clips=tuple((20, f"c{i}") for i in range(n_clips)))
+        rs, clips=tuple((clip_len, f"c{i}") for i in range(n_clips)))
     amass = {"vid_name": np.array(["m"] * 400),
              "theta": rs.randn(400, 82).astype(np.float32) * 0.2}
     over = {name: (db3, pse3) for name in
-            ("mpii3d", "h36m", "3dpw", "threedpw")}
+            ("mpii3d", "h36m", "human36m", "3dpw", "threedpw")}
     over.update({"posetrack": (db2, pse2), "insta": (db2, pse2),
                  "amass": (amass, None)})
     from tepose_tpu.data.loaders import get_data_loaders
