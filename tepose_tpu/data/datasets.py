@@ -196,6 +196,7 @@ class Dataset2D:
         theta_pseu = np.zeros((2, V, 85), np.float32)
         kp_parts: List[np.ndarray] = []
         bbox_parts: List[np.ndarray] = []
+        has_bbox = self.db.get("bbox") is not None
         for k, ((s, e), (ch, off)) in enumerate(zip(clips, layout)):
             ln = e - s + 1
             features[ch, off:off + ln] = seq(self.db["features"], s, e)
@@ -206,14 +207,21 @@ class Dataset2D:
             # the first seqlen-1 overlap frames (ref: dataset_2d.py:118-127)
             s_kp = s if k == 0 else s + S - 1
             kp_parts.append(seq(self.db["joints2D"], s_kp, e))
-            bbox_parts.append(seq(self.db["bbox"], s_kp, e))
+            if has_bbox:
+                bbox_parts.append(seq(self.db["bbox"], s_kp, e))
 
         kp_2d = np.concatenate(kp_parts, axis=0).astype(np.float32)
-        bbox = np.concatenate(bbox_parts, axis=0).astype(np.float32)
         if self.dataset_name != "posetrack":
             kp_2d = kp_utils.convert_kps(kp_2d, self.dataset_name, "spin")
-        kp_2d[..., :2] = normalize_2d_kp(
-            transform_keypoints(kp_2d[..., :2], bbox))
+        if has_bbox:
+            bbox = np.concatenate(bbox_parts, axis=0).astype(np.float32)
+            kp_2d[..., :2] = normalize_2d_kp(
+                transform_keypoints(kp_2d[..., :2], bbox))
+        else:
+            # insta keypoints are stored in 224-crop coords already: no bbox
+            # transform, just [-1,1] normalisation (ref: insta.py:96-97 vs
+            # dataset_2d.py:139-151)
+            kp_2d[..., :2] = normalize_2d_kp(kp_2d[..., :2])
 
         kp2 = np.ones((V, 49, 3), np.float32)
         kp2[:kp_2d.shape[0]] = kp_2d[:V]

@@ -64,7 +64,7 @@ class StreamingEngine:
                  backbone_params, model_cfg: TePoseConfig,
                  vibe_cfg: VibeConfig, crop_batch: int = 32,
                  window_bucket: int = 64, max_frames_per_call: int = 4096,
-                 backbone_dtype=None):
+                 backbone_dtype=None, mesh=None):
         self.smpl = smpl
         self.model_cfg = model_cfg
         self.vibe_cfg = vibe_cfg
@@ -76,26 +76,61 @@ class StreamingEngine:
         # bf16 (measured 1.43x on v5e, ~0.13% relative feature error) —
         # the live-demo speed knob; eval paths should stay f32.
         self.backbone_dtype = backbone_dtype
+        # optional jax.sharding.Mesh: tracklet batches shard over the mesh's
+        # data axis (weights replicated; each stream's theta-feedback chain
+        # is independent, so serving scales with zero collectives — the
+        # multi-chip counterpart of parallel/dp.py for the demo path)
+        self.mesh = mesh
         # per-stage wall timing (utils.profiling.StageTimer); the dict
         # view keeps the old `engine.timings["features"]` API working
         self.timers = StageTimer()
 
-        # ---- packed weights ------------------------------------------------
+        # ---- packed weights (replicated over the mesh when one is set) -----
         bb_template = backbone_params
         self._bb_packer = FlatPacker(bb_template)
         self._bb_flats = tuple(
-            jax.device_put(jnp.asarray(f))
+            self._put_weights(f)
             for f in self._bb_packer.pack_np(bb_template))
 
         gen_template = (tepose_params, vibe_params, pack_smpl(smpl))
         self._gen_packer = FlatPacker(gen_template)
         self._gen_flats = tuple(
-            jax.device_put(jnp.asarray(f))
+            self._put_weights(f)
             for f in self._gen_packer.pack_np(gen_template))
 
         self._features_fns: Dict[tuple, callable] = {}
         self._stream_fns: Dict[int, callable] = {}
         self._fused_fns: Dict[tuple, callable] = {}
+
+    # ---------------------------------------------------------------- mesh
+
+    def _put_weights(self, x):
+        x = jnp.asarray(x)
+        if self.mesh is None:
+            return jax.device_put(x)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.device_put(x, NamedSharding(self.mesh, P()))
+
+    def _put_batch(self, x):
+        """Place a (B, ...) buffer batch-sharded over the mesh's data axis
+        (no-op without a mesh)."""
+        x = jnp.asarray(x)
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from tepose_tpu.parallel.mesh import DATA_AXIS
+        spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+    def _pad_batch(self, b: int) -> int:
+        """Pad the tracklet-batch axis to a power of two (O(log B) compiled
+        programs per bucket) and, in mesh mode, to a device-count multiple
+        so the shard splits evenly."""
+        b = 1 << max(b - 1, 0).bit_length()
+        if self.mesh is not None:
+            n = self.mesh.devices.size
+            b = max(b, -(-b // n) * n)
+        return b
 
     # ------------------------------------------------------------------ feats
 
@@ -228,7 +263,7 @@ class StreamingEngine:
         results: List[Optional[Dict[str, np.ndarray]]] = \
             [None] * len(crops_list)
         for T_pad, idxs in buckets.items():
-            B_pad = 1 << max(len(idxs) - 1, 0).bit_length()
+            B_pad = self._pad_batch(len(idxs))
             dtype = crops_list[idxs[0]].dtype
             crops = np.zeros((B_pad, T_pad) + crops_list[idxs[0]].shape[1:],
                              dtype)
@@ -241,7 +276,7 @@ class StreamingEngine:
             fn = self._get_fused_fn((T_pad, B_pad, dtype.str))
             with self.timers.stage("fused"):
                 out = fn(self._bb_flats, self._gen_flats,
-                         jnp.asarray(crops), jnp.asarray(pseu))
+                         self._put_batch(crops), self._put_batch(pseu))
                 host = {k: np.asarray(v) for k, v in out.items()}
             for b, i in enumerate(idxs):
                 T = len(crops_list[i])
@@ -260,6 +295,7 @@ class StreamingEngine:
         chunk = self.crop_batch
         n_chunks = max(-(-(B_pad * T_pad) // chunk), 1)
         bb_dtype = self.backbone_dtype
+        mesh = self.mesh
 
         @jax.jit
         def fused(bb_flats, gen_flats, crops, theta_pseu):
@@ -268,13 +304,21 @@ class StreamingEngine:
             model = unpack_smpl(smpl_template, smpl_t)
 
             flat = crops.reshape((-1,) + crops.shape[2:])
-            pad = n_chunks * chunk - flat.shape[0]
-            flat = jnp.pad(flat, ((0, pad), (0, 0), (0, 0), (0, 0)))
-
-            feats = jax.lax.map(
-                lambda c: _backbone_chunk(bb_params, c, bb_dtype),
-                flat.reshape((n_chunks, chunk) + flat.shape[1:]))
-            feats = feats.reshape(-1, 2048)[:B_pad * T_pad]
+            if mesh is not None:
+                # mesh mode: no lax.map chunking — chunk boundaries would
+                # cross the batch-axis shards and force GSPMD to gather conv
+                # inputs across devices. The B-major flatten keeps each
+                # device's frames local, and batch-sharded convs partition
+                # with zero communication; per-device activation memory is
+                # (B/n)*T frames, bounded by the window bucket.
+                feats = _backbone_chunk(bb_params, flat, bb_dtype)
+            else:
+                pad = n_chunks * chunk - flat.shape[0]
+                flat = jnp.pad(flat, ((0, pad), (0, 0), (0, 0), (0, 0)))
+                feats = jax.lax.map(
+                    lambda c: _backbone_chunk(bb_params, c, bb_dtype),
+                    flat.reshape((n_chunks, chunk) + flat.shape[1:]))
+                feats = feats.reshape(-1, 2048)[:B_pad * T_pad]
             feats = feats.reshape(B_pad, T_pad, 2048)
 
             vibe_out = vibe_apply(vibe_params, model, feats[:, :S], vcfg)
@@ -330,7 +374,7 @@ class StreamingEngine:
             # compiled (T_pad, B) programs to O(log B) per length bucket;
             # rows are independent (eval-mode BN), so pad rows are free to
             # discard
-            B_pad = 1 << max(B - 1, 0).bit_length()
+            B_pad = self._pad_batch(B)
             feats = np.zeros((B_pad, T_pad, 2048), np.float32)
             pseu = np.zeros((B_pad, S - 1, 85), np.float32)
             pseu[:, :, 0] = 1.0
@@ -339,8 +383,8 @@ class StreamingEngine:
                 if theta_pseu_list[i] is not None:
                     pseu[b] = theta_pseu_list[i]
             fn = self._get_stream_fn((T_pad, B_pad))
-            out = fn(self._gen_flats, jnp.asarray(feats),
-                     jnp.asarray(pseu))
+            out = fn(self._gen_flats, self._put_batch(feats),
+                     self._put_batch(pseu))
             # ONE bulk readback per output key (the link charges per call:
             # per-tracklet sliced reads would cost B x len(out) round trips)
             host = {k: np.asarray(v) for k, v in out.items()}

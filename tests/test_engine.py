@@ -87,6 +87,41 @@ def test_run_tracklets_from_crops_matches_two_stage(rng):
                                        atol=1e-4, err_msg=f"{i}/{k}")
 
 
+def test_mesh_sharded_streaming_matches_single(rng):
+    """Multi-chip serving: an engine built over the 8-device CPU mesh must
+    reproduce the single-device outputs exactly (streams are independent —
+    batch-axis sharding inserts zero collectives)."""
+    from tepose_tpu.parallel.mesh import make_mesh
+
+    smpl = synthetic_smpl_model(seed=0, num_verts=64)
+    mcfg = TePoseConfig(seqlen=6, n_layers=1, hidden_size=16)
+    vcfg = VibeConfig(seqlen=6, n_layers=1, hidden_size=16, add_linear=True)
+    args = (smpl, tepose_init(jax.random.PRNGKey(0), mcfg),
+            vibe_init(jax.random.PRNGKey(1), vcfg),
+            resnet50_init(jax.random.PRNGKey(2)), mcfg, vcfg)
+    single = StreamingEngine(*args, window_bucket=16)
+    sharded = StreamingEngine(*args, window_bucket=16, mesh=make_mesh(8))
+
+    feats = [rng.randn(n, 2048).astype(np.float32) * 0.1
+             for n in (14, 14, 30)]
+    a = single.run_tracklets(feats)
+    b = sharded.run_tracklets(feats)
+    for i in range(len(feats)):
+        for k in a[i]:
+            np.testing.assert_allclose(b[i][k], a[i][k], atol=1e-5,
+                                       err_msg=f"{i}/{k}")
+
+    crops = [(rng.rand(8, 3, 224, 224) * 255).astype(np.uint8)]
+    fa = single.run_tracklets_from_crops(crops)
+    fb = sharded.run_tracklets_from_crops(crops)
+    for k in fa[0]:
+        # rtol: the mesh path runs the backbone unchunked (no lax.map), so
+        # conv reduction order differs at the last-ulp level; synthetic
+        # projections amplify feature bits into O(1e3) kp_2d values
+        np.testing.assert_allclose(fb[0][k], fa[0][k], rtol=1e-4, atol=1e-4,
+                                   err_msg=k)
+
+
 def test_backbone_bf16_close_to_f32(rng):
     """bf16 backbone mode (the demo --precision bf16 knob) stays within
     bf16 rounding of the f32 features, relative to the feature scale."""

@@ -170,6 +170,48 @@ def test_dataset2d_posetrack_items_match_reference(ref_data_env, tmp_path,
             ["features", "theta_pseu", "kp_2d", "switch_id", "vidlen_each"])
 
 
+def test_insta_items_match_reference(ref_data_env, tmp_path, monkeypatch):
+    """Insta (HDF5): same 2-channel packing as Dataset2D but the keypoints
+    are stored in 224-crop coordinates — NO bbox transform, just [-1,1]
+    normalisation (ref: insta.py:96-97), and the insta->spin conversion."""
+    h5py = pytest.importorskip("h5py")
+    import lib.dataset.insta as ref_mod
+
+    from tepose_tpu.data.datasets import Insta
+
+    rng = np.random.RandomState(4)
+    lengths = [12, 9, 14, 8]
+    vidlen = 20
+    n = sum(lengths)
+    vid_name = np.concatenate(
+        [np.array([f"vid_{i}".encode()] * ln)
+         for i, ln in enumerate(lengths)])
+    feats = rng.randn(n, 2048).astype(np.float32) * 0.1
+    kp = np.concatenate(
+        [rng.rand(n, 25, 2).astype(np.float32) * 224,
+         rng.rand(n, 25, 1).astype(np.float32)], axis=2)
+
+    h5_path = osp.join(str(tmp_path), "insta_train_db.h5")
+    with h5py.File(h5_path, "w") as f:
+        f.create_dataset("vid_name", data=vid_name)
+        f.create_dataset("features", data=feats)
+        f.create_dataset("joints2D", data=kp)
+    pse = rng.randn(n, 85).astype(np.float32) * 0.2
+    joblib.dump(pse, osp.join(str(tmp_path), "insta_train_pseudotheta.pt"))
+    monkeypatch.setattr(ref_mod, "TePose_DB_DIR", str(tmp_path))
+
+    ref_ds = ref_mod.Insta(load_opt="repr_wpw_h36m_mpii3d_model",
+                           seqlen=SEQLEN, vidlen=vidlen)
+    our_ds = Insta(load_opt="repr_wpw_h36m_mpii3d_model", seqlen=SEQLEN,
+                   vidlen=vidlen, h5_path=h5_path)
+
+    assert len(our_ds) == len(ref_ds) == 2
+    for i in range(len(ref_ds)):
+        _assert_items_match(
+            our_ds[i], ref_ds[i],
+            ["features", "theta_pseu", "kp_2d", "switch_id", "vidlen_each"])
+
+
 def test_amass_items_match_reference(ref_data_env, tmp_path, monkeypatch):
     import lib.dataset.amass as ref_mod
 
