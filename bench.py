@@ -182,6 +182,83 @@ def measure_end_to_end(cfg, smpl, params, n_streams=8, frames=120):
     return full_fps, dev_fps
 
 
+def measure_training(vidlen=126, num_iters=120):
+    """GAN training throughput at flagship shapes (batch 32 = 19 2D + 13 3D,
+    hidden-1024 2-layer encoder, 13/6-scale GCN discriminator, full SMPL):
+    windows/sec of the packed on-device segment (ref: trainer.py:124-247,
+    NUM_ITERS_PER_EPOCH inner loop)."""
+    import jax.random as jrandom
+
+    from tepose_tpu.models.gcn import motion_discriminator_init
+    from tepose_tpu.models.tepose import tepose_init
+    from tepose_tpu.train.loss import LossWeights
+    from tepose_tpu.train.optim import make_optimizer
+    from tepose_tpu.train.trainer import (
+        TrainHyper, make_packed_train_segment)
+
+    cfg = TePoseConfig(seqlen=6, n_layers=2, hidden_size=1024)
+    hp = TrainHyper()
+    smpl = synthetic_smpl_model(seed=0)
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        gen_params = tepose_init(jrandom.PRNGKey(0), cfg)
+        disc_params, disc_state = motion_discriminator_init(
+            jrandom.PRNGKey(1), num_gcn_scales=hp.num_gcn_scales,
+            num_g3d_scales=hp.num_g3d_scales)
+    gen_tx = make_optimizer("adam", 5e-5)
+    disc_tx = make_optimizer("adam", 1e-4, weight_decay=1e-4)
+    with jax.default_device(cpu):
+        carry = (gen_params, disc_params, disc_state,
+                 gen_tx.init(gen_params), disc_tx.init(disc_params))
+
+    rng = np.random.RandomState(0)
+    V, S, B = vidlen, cfg.seqlen, hp.n_2d + hp.n_3d
+    switch = np.zeros((hp.n_2d, 2, V), np.float32)
+    switch[:, 0, :V // 2] = 1
+    switch[:, 1, V // 2:] = 1
+    data = {
+        "batch_2d": {
+            "features": rng.randn(hp.n_2d, 2, V, 2048).astype(np.float32),
+            "theta_pseu": rng.randn(hp.n_2d, 2, V, 85).astype(np.float32)
+            * 0.1,
+            "kp_2d": rng.randn(hp.n_2d, V, 49, 3).astype(np.float32),
+            "switch_id": switch,
+            "vidlen_each": np.full((hp.n_2d,), V, np.float32),
+        },
+        "batch_3d": {
+            "features": rng.randn(hp.n_3d, V, 2048).astype(np.float32),
+            "theta_pseu": rng.randn(hp.n_3d, V, 85).astype(np.float32) * 0.1,
+            "kp_2d": rng.randn(hp.n_3d, V, 49, 3).astype(np.float32),
+            "kp_3d": rng.randn(hp.n_3d, V, 49, 3).astype(np.float32),
+            "theta": rng.randn(hp.n_3d, V, 85).astype(np.float32) * 0.1,
+            "w_3d": np.ones((hp.n_3d, V), np.float32),
+            "w_smpl": np.ones((hp.n_3d, V), np.float32),
+            "vidlen_each": np.full((hp.n_3d,), V, np.float32),
+        },
+        "amass": rng.randn(num_iters, B, S, 85).astype(np.float32) * 0.1,
+    }
+
+    seg, carry_packer, data_packer = make_packed_train_segment(
+        smpl, cfg, hp, gen_tx, disc_tx, LossWeights(), num_iters,
+        carry, data)
+    carry_flats = tuple(jax.device_put(jnp.asarray(f))
+                        for f in carry_packer.pack_np(carry))
+    data_flats = tuple(jnp.asarray(f) for f in data_packer.pack_np(data))
+
+    key = jrandom.PRNGKey(0)
+    carry_flats, m = seg(carry_flats, data_flats, key)   # warmup/compile
+    np.asarray(m)
+    t0 = time.time()
+    reps = 2
+    for _ in range(reps):
+        carry_flats, m = seg(carry_flats, data_flats, key)
+        np.asarray(m[:1])
+    dt = (time.time() - t0) / reps
+    assert np.all(np.isfinite(np.asarray(m))), "non-finite train metrics"
+    return num_iters / dt
+
+
 def main() -> None:
     profile_dir = None
     if "--profile" in sys.argv:
@@ -198,6 +275,7 @@ def main() -> None:
     with ctx:
         plain_fps, fast_fps = measure_window_scans(cfg, smpl, packer, flats)
         e2e_fps, e2e_dev_fps = measure_end_to_end(cfg, smpl, params)
+        train_wps = measure_training()
 
     best = max(plain_fps, fast_fps)
     print(json.dumps({
@@ -211,6 +289,10 @@ def main() -> None:
             "windows_scan_fast_fps": round(fast_fps, 1),
             "end_to_end_crops_to_verts_fps": round(e2e_fps, 1),
             "end_to_end_device_compute_fps": round(e2e_dev_fps, 1),
+            "train_windows_per_sec": round(train_wps, 1),
+            "train_note": "full GAN segment, batch 32 (19 2D + 13 3D), "
+                          "scheduled sampling + disc update, flagship "
+                          "shapes (trainer.py:124-247)",
             "end_to_end_note": "8 streams x 120 frames of raw 224x224 u8 "
                                "crops through one fused ResNet-50 + windows "
                                "scan + SMPL verts program (demo.py:171-252 "
