@@ -40,7 +40,9 @@ class OneEuroFilter:
         self.d_cutoff = float(d_cutoff)
         self.x_prev = np.asarray(x0, np.float64)
         self.dx_prev = np.full_like(self.x_prev, dx0)
-        self.t_prev = float(t0)
+        # scalar or per-element timestamps (the reference passes arrays,
+        # smooth_pose.py:29-31)
+        self.t_prev = np.asarray(t0, np.float64)
 
     def __call__(self, t: float, x: np.ndarray) -> np.ndarray:
         t_e = t - self.t_prev
@@ -144,16 +146,21 @@ def smooth_bbox_params(params: np.ndarray, kernel_size: int = 11,
 
 
 def get_smooth_bbox_params(kps, vis_thresh: float = 0.3,
-                           kernel_size: int = 11, sigma: float = 8.0):
+                           kernel_size: int = 11, sigma: float = 3.0):
     """Full pipeline: kp->bbox per frame, interpolate interior gaps, smooth.
 
-    Returns (smoothed params (M, 3), start_idx, end_idx) like the reference's
-    get_smooth_bbox_params (used by the DB builders, threedpw_utils.py:118).
+    Returns (smoothed params (end, 3), start_idx, end_idx) exactly like the
+    reference's get_smooth_bbox_params (smooth_bbox.py:9-33, incl. the
+    zeros prefix for frames before start_idx, so params[i] aligns with
+    frame i; slice [start:end] for the detected interval). Used by the DB
+    builders with sigma=8 (threedpw_utils.py:117).
     """
     params, t0, t1 = get_all_bbox_params(kps, vis_thresh)
     if len(params) == 0:
         return params, t0, t1
-    return smooth_bbox_params(params, kernel_size, sigma), t0, t1
+    smoothed = smooth_bbox_params(params, kernel_size, sigma)
+    smoothed = np.vstack([np.zeros((t0, 3), smoothed.dtype), smoothed])
+    return smoothed, t0, t1
 
 
 def bbox_params_to_cxcywh(params: np.ndarray,

@@ -86,7 +86,10 @@ def test_bbox_pipeline(rng):
     kps[-3:, :, 2] = 0.0     # trailing gap -> trimmed
     params, t0, t1 = F.get_smooth_bbox_params(kps)
     assert t0 == 2 and t1 == T - 3
-    assert params.shape == (t1 - t0, 3)
+    # zeros-prefixed to frame 0, reference surface (smooth_bbox.py:32)
+    assert params.shape == (t1, 3)
+    np.testing.assert_array_equal(params[:t0], 0.0)
+    params = params[t0:t1]
     assert np.all(np.isfinite(params))
     # smoothed center x should increase roughly monotonically
     assert params[-1, 0] > params[0, 0]

@@ -100,6 +100,9 @@ def read_data(dataset_path: str, split: str = "train",
                 j2ds, vis_thresh=VIS_THRESH, sigma=8)
             if len(bbox_params) == 0:
                 continue
+            # zeros-prefixed to frame 0 (reference surface); keep the
+            # detected interval only
+            bbox_params = bbox_params[t0:t1]
             w = 150.0 / bbox_params[:, 2] * bbox_expand
             bbox = np.stack([bbox_params[:, 0], bbox_params[:, 1], w, w], 1)
 

@@ -94,7 +94,9 @@ def read_data(folder: str, split: str, occluders=None, db_dir=None,
                 j2d, vis_thresh=VIS_THRESH, sigma=8)
             if len(bbox_params) == 0:
                 continue
-            bbox = bbox_params_to_cxcywh(bbox_params)
+            # zeros-prefixed to frame 0 (reference surface); keep the
+            # detected interval only
+            bbox = bbox_params_to_cxcywh(bbox_params[t0:t1])
 
             # keypoints: visibility flags + '3dpw'->'common' + 2 zero slots
             # for neck/headtop (ref: threedpw_utils.py:139-146)
