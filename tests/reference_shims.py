@@ -371,11 +371,27 @@ def make_base_data(root: str, model, mean_params: dict) -> None:
              cam=np.asarray(mean_params["cam"], np.float32))
 
 
+def _install_pytube():
+    """demo_utils.py:9 imports `from pytube import YouTube` at module level;
+    the download path is never exercised in tests."""
+    if "pytube" in sys.modules:
+        return
+    pt = types.ModuleType("pytube")
+
+    class YouTube:
+        def __init__(self, *a, **k):
+            raise RuntimeError("pytube shim: no network in tests")
+
+    pt.YouTube = YouTube
+    sys.modules["pytube"] = pt
+
+
 def install_reference() -> None:
     """Install shims and make `import lib...` resolve to /root/reference."""
     _install_yacs()
     _install_torchvision()
     _install_skimage()
+    _install_pytube()
     _install_smplx()
     # the reference uses the numpy<1.24 `np.float` alias
     # (dataset_3d.py:287, dataset_2d.py:156)

@@ -70,3 +70,48 @@ def test_crop_transform_matches_reference(ref_env, rng):
     bbox = np.array([[cx, cy, w, h]], np.float32).repeat(49, 0)
     o_kp = transform_keypoints(kp.copy()[None], bbox[:1])[0]
     np.testing.assert_allclose(o_kp, r_kp, atol=1e-3)
+
+
+def test_demo_cam_conversions_match_reference(ref_env, rng):
+    """Weak-perspective crop-cam -> original-image cam and crop-coords ->
+    original-image coords (ref: demo_utils.py:241-305), used by every
+    rendered demo frame and the results pkl."""
+    from lib.utils import demo_utils as ref_du
+
+    from tepose_tpu.streaming.demo_utils import (
+        convert_crop_cam_to_orig_img, convert_crop_coords_to_orig_img,
+        prepare_rendering_results)
+
+    T = 12
+    cam = rng.randn(T, 3).astype(np.float32) * 0.2
+    cam[:, 0] += 1.0
+    bbox = np.stack([rng.rand(T) * 500 + 100, rng.rand(T) * 400 + 100,
+                     rng.rand(T) * 150 + 100, rng.rand(T) * 150 + 100],
+                    axis=1).astype(np.float32)
+    r = ref_du.convert_crop_cam_to_orig_img(cam, bbox, 1280, 720)
+    o = convert_crop_cam_to_orig_img(cam, bbox, 1280, 720)
+    np.testing.assert_allclose(o, r, atol=1e-4)
+
+    kp = (rng.rand(T, 49, 2) * 224).astype(np.float32)
+    r_kp = ref_du.convert_crop_coords_to_orig_img(bbox, kp.copy(), 224)
+    o_kp = convert_crop_coords_to_orig_img(bbox, kp.copy(), 224)
+    np.testing.assert_allclose(o_kp, r_kp, atol=1e-4)
+
+    # depth-ordered multi-person render prep (ref: demo_utils.py:277-295)
+    results = {}
+    for pid in (1, 2):
+        results[pid] = {
+            "verts": rng.randn(T, 8, 3).astype(np.float32),
+            "orig_cam": rng.randn(T, 4).astype(np.float32),
+            "bboxes": bbox,
+            "frame_ids": np.arange(T),
+        }
+    r_frames = ref_du.prepare_rendering_results(
+        {k: {kk: vv for kk, vv in v.items()} for k, v in results.items()}, T)
+    o_frames = prepare_rendering_results(results, T)
+    assert len(o_frames) == len(r_frames) == T
+    for f in range(T):
+        assert list(o_frames[f].keys()) == list(r_frames[f].keys()), f
+        for pid in o_frames[f]:
+            np.testing.assert_allclose(o_frames[f][pid]["verts"],
+                                       r_frames[f][pid]["verts"])
