@@ -124,6 +124,10 @@ def run_eval(cfg, args, synthetic: bool = False, devices: int = 1):
     from tepose_tpu.ops.quaternion import smooth_rotmats_slerp
 
     dataset = args.dataset
+    if args.filter and dataset == "mpii3d":
+        sys.exit("--filter is not supported for mpii3d: the slerp-smoothed "
+                 "rebuild regresses J14 joints through the H36M J_regressor "
+                 "(ref: evaluate.py:288-290), which mpii3d eval does not use")
     smpl, mcfg, vcfg, gen, vibe, j_regressor = build_models(cfg, synthetic)
     S = mcfg.seqlen
     use_jreg = dataset != "mpii3d"
