@@ -227,6 +227,10 @@ def main():
     pids = list(tracklets.keys())
     squares = {}
     crops_list = []
+    # short videos ride the fused crops->verts program; long ones would hold
+    # every raw crop in RAM, so they stream through feature extraction
+    fused = sum(len(tracklets[p]["frames"])
+                for p in pids) <= engine.max_frames_per_call
     for pid in pids:
         tr = tracklets[pid]
         bboxes = tr["bbox"].copy()
@@ -242,12 +246,21 @@ def main():
             crops.append(crop_normalize(frames[int(f_idx)],
                                         sq[local_i:local_i + 1],
                                         normalize=False)[0])
-        crops_list.append(np.stack(crops))
+        crops = np.stack(crops)
         total_pred_frames += len(crops)
+        if fused:
+            crops_list.append(crops)
+        else:
+            # long video: don't hold every tracklet's raw crops in RAM —
+            # reduce to 2048-d features immediately (~75x smaller)
+            crops_list.append(engine.extract_features_multi([crops])[0])
 
-    # fused crops -> features -> windowed scan, one device call per
-    # tracklet-length bucket (features never visit the host)
-    outs = engine.run_tracklets_from_crops(crops_list)
+    if fused:
+        # fused crops -> features -> windowed scan, one device call per
+        # tracklet-length bucket (features never visit the host)
+        outs = engine.run_tracklets_from_crops(crops_list)
+    else:
+        outs = engine.run_tracklets(crops_list)
     for pid, out in zip(pids, outs):
         tr = tracklets[pid]
         sq = squares[pid]

@@ -183,11 +183,12 @@ def run_eval(cfg, args, synthetic: bool = False, devices: int = 1):
         vibe_r = replicate(vibe, mesh)
         jreg_r = replicate(jnp.asarray(j_regressor), mesh)
 
-    # pack the fixed weights once (see utils.packing for why)
-    weights_template = (gen, vibe, pack_smpl(smpl), j_regressor)
-    weights_packer = FlatPacker(weights_template)
-    weight_flats = tuple(jnp.asarray(f)
-                         for f in weights_packer.pack_np(weights_template))
+    if mesh is None:
+        # pack the fixed weights once (see utils.packing for why)
+        weights_template = (gen, vibe, pack_smpl(smpl), j_regressor)
+        weights_packer = FlatPacker(weights_template)
+        weight_flats = tuple(jnp.asarray(f)
+                             for f in weights_packer.pack_np(weights_template))
 
     # partial chunks pad to the next power of two so program count stays
     # O(log B) per bucket (see the batching note above for the defaults)

@@ -145,7 +145,7 @@ def smooth_bbox_params(params: np.ndarray, kernel_size: int = 11,
     return out.astype(np.float32)
 
 
-def get_smooth_bbox_params(kps, vis_thresh: float = 0.3,
+def get_smooth_bbox_params(kps, vis_thresh: float = 2.0,
                            kernel_size: int = 11, sigma: float = 3.0):
     """Full pipeline: kp->bbox per frame, interpolate interior gaps, smooth.
 

@@ -162,6 +162,13 @@ class StreamingEngine:
     def _extract_features_multi(self, crops_list):
         if not crops_list:
             return []
+        dtypes = {np.asarray(c).dtype.str for c in crops_list}
+        if len(dtypes) > 1:
+            # np.concatenate would silently promote u8 to f32 and skip the
+            # on-device /255+ImageNet normalisation for those crops
+            raise ValueError(
+                f"mixed crop dtypes {sorted(dtypes)}: pass all-uint8 (raw) "
+                "or all-float32 (ImageNet-normalised) tracklets")
         lens = [len(c) for c in crops_list]
         flat = np.concatenate([np.ascontiguousarray(c) for c in crops_list])
         feats = np.empty((len(flat), 2048), np.float32)
@@ -181,7 +188,8 @@ class StreamingEngine:
         n_chunks = 1 << (n_chunks - 1).bit_length()
         buf = np.zeros((n_chunks * B,) + crops.shape[1:], crops.dtype)
         buf[:len(crops)] = crops
-        fn = self._get_features_fn((n_chunks, crops.dtype.str))
+        fn = self._get_features_fn(
+            (n_chunks, crops.dtype.str, str(self.backbone_dtype)))
         feats = np.asarray(fn(self._bb_flats, jnp.asarray(
             buf.reshape((n_chunks, B) + crops.shape[1:]))))
         return feats.reshape(n_chunks * B, -1)[:len(crops)]
@@ -245,13 +253,22 @@ class StreamingEngine:
         (ref: demo.py:171-252 runs crops->features and features->theta as
         two separate torch loops with a host hop between them).
 
-        crops_list: list of (T_i, 3, 224, 224) u8/f32; returns a list of
-        per-frame output dicts aligned with the input order.
+        crops_list: list of (T_i, 3, 224, 224), all u8 (raw) or all f32
+        (pre-normalised) — mixing dtypes is rejected, the two conventions
+        need different on-device normalisation. Buckets whose padded crop
+        buffer would exceed `max_frames_per_call` frames fall back to the
+        two-stage path (super-chunked feature extraction + feature scan),
+        bounding host/device memory on long videos.
         """
         S = self.model_cfg.seqlen
         for c in crops_list:
             if len(c) < S:
                 raise ValueError(f"tracklet too short: {len(c)} < {S}")
+        dtypes = {c.dtype.str for c in crops_list}
+        if len(dtypes) > 1:
+            raise ValueError(
+                f"mixed crop dtypes {sorted(dtypes)}: pass all-uint8 (raw) "
+                "or all-float32 (ImageNet-normalised) tracklets")
         if theta_pseu_list is None:
             theta_pseu_list = [None] * len(crops_list)
 
@@ -264,6 +281,16 @@ class StreamingEngine:
             [None] * len(crops_list)
         for T_pad, idxs in buckets.items():
             B_pad = self._pad_batch(len(idxs))
+            if B_pad * T_pad > self.max_frames_per_call:
+                # long-video guard: the fused buffer would be unbounded;
+                # extract features in bounded super-chunks instead
+                feats = self.extract_features_multi(
+                    [crops_list[i] for i in idxs])
+                sub = self._run_tracklets(
+                    feats, [theta_pseu_list[i] for i in idxs])
+                for out, i in zip(sub, idxs):
+                    results[i] = out
+                continue
             dtype = crops_list[idxs[0]].dtype
             crops = np.zeros((B_pad, T_pad) + crops_list[idxs[0]].shape[1:],
                              dtype)
@@ -273,7 +300,8 @@ class StreamingEngine:
                 crops[b, :len(crops_list[i])] = crops_list[i]
                 if theta_pseu_list[i] is not None:
                     pseu[b] = theta_pseu_list[i]
-            fn = self._get_fused_fn((T_pad, B_pad, dtype.str))
+            fn = self._get_fused_fn(
+                (T_pad, B_pad, dtype.str, str(self.backbone_dtype)))
             with self.timers.stage("fused"):
                 out = fn(self._bb_flats, self._gen_flats,
                          self._put_batch(crops), self._put_batch(pseu))
@@ -286,7 +314,7 @@ class StreamingEngine:
     def _get_fused_fn(self, key):
         if key in self._fused_fns:
             return self._fused_fns[key]
-        T_pad, B_pad, _ = key
+        T_pad, B_pad = key[0], key[1]
         S = self.model_cfg.seqlen
         W = T_pad - S + 1
         bbp, packer = self._bb_packer, self._gen_packer
@@ -303,23 +331,38 @@ class StreamingEngine:
             tepose_params, vibe_params, smpl_t = packer.unpack(gen_flats)
             model = unpack_smpl(smpl_template, smpl_t)
 
-            flat = crops.reshape((-1,) + crops.shape[2:])
             if mesh is not None:
-                # mesh mode: no lax.map chunking — chunk boundaries would
-                # cross the batch-axis shards and force GSPMD to gather conv
-                # inputs across devices. The B-major flatten keeps each
-                # device's frames local, and batch-sharded convs partition
-                # with zero communication; per-device activation memory is
-                # (B/n)*T frames, bounded by the window bucket.
-                feats = _backbone_chunk(bb_params, flat, bb_dtype)
+                # mesh mode: chunk over TIME per stream, never across the
+                # batch axis — crop_batch-boundaries that cross the batch
+                # shards would force GSPMD to gather conv inputs across
+                # devices (measured: pathological partitioned compile).
+                # Each map step runs (B, ct) frames B-major, so every
+                # device keeps its own streams' frames local and conv
+                # activations stay bounded by ~crop_batch frames/device.
+                n_dev = mesh.devices.size
+                ct = max(1, (chunk * n_dev) // B_pad)
+                n_t = -(-T_pad // ct)
+                c = jnp.pad(crops, ((0, 0), (0, n_t * ct - T_pad),
+                                    (0, 0), (0, 0), (0, 0)))
+                c = jnp.swapaxes(
+                    c.reshape((B_pad, n_t, ct) + crops.shape[2:]), 0, 1)
+
+                def one_t(cc):
+                    flat_t = cc.reshape((-1,) + cc.shape[2:])  # B-major
+                    f = _backbone_chunk(bb_params, flat_t, bb_dtype)
+                    return f.reshape(B_pad, ct, 2048)
+
+                feats = jnp.swapaxes(jax.lax.map(one_t, c), 0, 1)
+                feats = feats.reshape(B_pad, n_t * ct, 2048)[:, :T_pad]
             else:
+                flat = crops.reshape((-1,) + crops.shape[2:])
                 pad = n_chunks * chunk - flat.shape[0]
                 flat = jnp.pad(flat, ((0, pad), (0, 0), (0, 0), (0, 0)))
                 feats = jax.lax.map(
                     lambda c: _backbone_chunk(bb_params, c, bb_dtype),
                     flat.reshape((n_chunks, chunk) + flat.shape[1:]))
                 feats = feats.reshape(-1, 2048)[:B_pad * T_pad]
-            feats = feats.reshape(B_pad, T_pad, 2048)
+                feats = feats.reshape(B_pad, T_pad, 2048)
 
             vibe_out = vibe_apply(vibe_params, model, feats[:, :S], vcfg)
             boot = {k: vibe_out[k][:, :S - 1]

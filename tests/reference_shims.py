@@ -398,4 +398,8 @@ def install_reference() -> None:
     if not hasattr(np, "float"):
         np.float = float
     if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
+        # APPEND, not insert: the reference root also contains top-level
+        # demo.py/train.py/evaluate.py which would otherwise shadow the
+        # repo's own CLI modules for any test running after a parity test.
+        # Only the unique `lib` package needs to resolve from there.
+        sys.path.append(REFERENCE_ROOT)

@@ -84,7 +84,7 @@ def test_bbox_pipeline(rng):
     kps[10:13, :, 2] = 0.0   # interior gap -> interpolated
     kps[:2, :, 2] = 0.0      # leading gap -> trimmed by the interval
     kps[-3:, :, 2] = 0.0     # trailing gap -> trimmed
-    params, t0, t1 = F.get_smooth_bbox_params(kps)
+    params, t0, t1 = F.get_smooth_bbox_params(kps, vis_thresh=0.3)
     assert t0 == 2 and t1 == T - 3
     # zeros-prefixed to frame 0, reference surface (smooth_bbox.py:32)
     assert params.shape == (t1, 3)

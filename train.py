@@ -37,8 +37,10 @@ def synthetic_loaders(cfg, seed=0):
     n_videos = max(6, cfg.TRAIN.BATCH_SIZE + 2)
     # each 2-channel 2D item packs ~ceil((vidlen-seqlen+2)/(clip-seqlen+1))
     # clips (chunking.combine_into_chunks), and the 2D batch needs
-    # BATCH_SIZE*DATA_2D_RATIO whole items per step
-    clip_len = 20
+    # BATCH_SIZE*DATA_2D_RATIO whole items per step. clip_len scales with
+    # seqlen (clip-seqlen+1 must stay positive) and vidlen (bounds the
+    # synthetic DB size for long-VIDLEN configs)
+    clip_len = max(2 * sl, vl // 8)
     clips_per_item = -(-(vl - sl + 2) // (clip_len - sl + 1))
     n_2d = int(round(cfg.TRAIN.BATCH_SIZE * cfg.TRAIN.DATA_2D_RATIO))
     n_clips = max(20, (n_2d + 2) * clips_per_item)
