@@ -66,3 +66,24 @@ def test_fast_scan_with_j_regressor(rng):
                                    jreg=jreg)
     np.testing.assert_allclose(np.asarray(out["kp_3d"]),
                                np.asarray(j3d_ref), atol=5e-4)
+
+
+def test_precompute_projections_identical(rng):
+    """Precomputed frame projections (one big matmul outside the scan) must
+    be bit-identical to the per-window recompute path — same matmul, just
+    hoisted out of the overlapping windows."""
+    cfg = TePoseConfig(seqlen=6, n_layers=2, hidden_size=32)
+    smpl = synthetic_smpl_model(seed=0, num_verts=64)
+    params = tepose_init(jax.random.PRNGKey(0), cfg)
+
+    B, T = 2, 16
+    W = T - cfg.seqlen + 1
+    feats = jnp.asarray(rng.randn(B, T, 2048).astype(np.float32) * 0.1)
+    buf0 = jnp.asarray(rng.randn(B, 5, 85).astype(np.float32) * 0.1)
+
+    pre = fast_stream_scan(params, smpl, feats, buf0, cfg, W,
+                           precompute_projections=True)
+    rec = fast_stream_scan(params, smpl, feats, buf0, cfg, W,
+                           precompute_projections=False)
+    np.testing.assert_array_equal(np.asarray(pre["theta"]),
+                                  np.asarray(rec["theta"]))
