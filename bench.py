@@ -49,7 +49,9 @@ from tepose_tpu.utils.packing import (  # noqa: E402
 
 BASELINE_TARGET_FPS = 120.0  # 4 x assumed 30 FPS reference streaming rate
 
-B = 256           # concurrent streams (measured throughput optimum)
+B = 192           # concurrent streams; measured optimum with precomputed
+                  # projections (sweep on v5e: 128: 219k, 160: 233k,
+                  # 192: 252k, 224: 228k, 256: 229k fps)
 FRAMES = 485      # frames per stream (long segments amortize host sync)
 
 
@@ -282,7 +284,7 @@ def main() -> None:
     print(json.dumps({
         "metric": "streaming_fps_per_chip",
         "value": round(best, 1),
-        "unit": "frames/sec (256 concurrent streams, seqlen-6 windows, "
+        "unit": f"frames/sec ({B} concurrent streams, seqlen-6 windows, "
                 "full SMPL output)",
         "vs_baseline": round(best / BASELINE_TARGET_FPS, 2),
         "extra": {
