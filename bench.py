@@ -270,6 +270,17 @@ def main() -> None:
 
     cfg, smpl, params, packer, flats = _setup()
 
+    # link-health probe: the axon tunnel's bandwidth varies several-fold
+    # between runs and dominates the full-path e2e figure; record it so
+    # cross-round BENCH comparisons are explainable
+    probe = np.zeros((32 << 20,), np.uint8)
+    x = jax.device_put(jnp.asarray(probe))
+    np.asarray(x[:1])
+    t0 = time.time()
+    x = jax.device_put(jnp.asarray(probe))
+    np.asarray(x[:1])
+    link_mbps = 32.0 / max(time.time() - t0, 1e-9)
+
     import contextlib
 
     from tepose_tpu.utils.profiling import trace
@@ -296,6 +307,7 @@ def main() -> None:
             "train_note": "full GAN segment, batch 32 (19 2D + 13 3D), "
                           "scheduled sampling + disc update, flagship "
                           "shapes (trainer.py:124-247)",
+            "host_link_MB_per_sec": round(link_mbps, 1),
             "end_to_end_note": "8 streams x 120 frames of raw 224x224 u8 "
                                "crops through one fused ResNet-50 + windows "
                                "scan + SMPL verts program (demo.py:171-252 "
