@@ -174,14 +174,14 @@ def measure_end_to_end(cfg, smpl, params, n_streams=8, frames=120):
     pseu[:, :, 0] = 1.0
     pseu_dev = jax.device_put(jnp.asarray(pseu))
 
-    def dev_once():
-        out = fn(engine._bb_flats, engine._gen_flats, crops_dev, pseu_dev)
-        np.asarray(out["theta"][-1, -1, :1])  # tiny sync readback
-    dev_once()  # warmup (shape already compiled by run_once)
+    out = fn(engine._bb_flats, engine._gen_flats, crops_dev, pseu_dev)
+    np.asarray(out["theta"][-1, -1, :1])  # warmup sync
+    dev_reps = 8
     t0 = time.time()
-    for _ in range(reps):
-        dev_once()
-    dev_fps = n_streams * frames / ((time.time() - t0) / reps)
+    outs = [fn(engine._bb_flats, engine._gen_flats, crops_dev, pseu_dev)
+            for _ in range(dev_reps)]  # async enqueue: overlaps dispatch
+    np.asarray(outs[-1]["theta"][-1, -1, :1])  # one sync for the chain
+    dev_fps = dev_reps * n_streams * frames / (time.time() - t0)
     return full_fps, dev_fps
 
 
