@@ -168,6 +168,7 @@ def run_eval(cfg, args, synthetic: bool = False, devices: int = 1):
 
     mesh = None
     if devices > 1:
+        from tepose_tpu.eval.evaluator import make_sharded_eval_scan
         from tepose_tpu.parallel.mesh import make_mesh, replicate
 
         if len(jax.devices()) < devices:
@@ -218,8 +219,6 @@ def run_eval(cfg, args, synthetic: bool = False, devices: int = 1):
             key = (W, B)
             if mesh is not None:
                 if key not in eval_fns:
-                    from tepose_tpu.eval.evaluator import \
-                        make_sharded_eval_scan
                     eval_fns[key] = make_sharded_eval_scan(
                         smpl, mcfg, vcfg, W, use_jreg, mesh)
                 fn, _, place_data = eval_fns[key]

@@ -22,6 +22,9 @@ from typing import Dict, Iterable, List, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tepose_tpu.parallel.mesh import DATA_AXIS
 
 from tepose_tpu.models.smpl import SmplModel
 from tepose_tpu.models.tepose import (
@@ -34,6 +37,16 @@ from tepose_tpu.utils.profiling import StageTimer
 
 def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
+
+
+def _check_same_dtype(crops_list) -> None:
+    dtypes = {np.asarray(c).dtype.str for c in crops_list}
+    if len(dtypes) > 1:
+        # silent promotion would skip the on-device /255+ImageNet
+        # normalisation for the u8 crops
+        raise ValueError(
+            f"mixed crop dtypes {sorted(dtypes)}: pass all-uint8 (raw) "
+            "or all-float32 (ImageNet-normalised) tracklets")
 
 
 def _backbone_chunk(bb_params, crops, dtype=None):
@@ -108,7 +121,6 @@ class StreamingEngine:
         x = jnp.asarray(x)
         if self.mesh is None:
             return jax.device_put(x)
-        from jax.sharding import NamedSharding, PartitionSpec as P
         return jax.device_put(x, NamedSharding(self.mesh, P()))
 
     def _put_batch(self, x):
@@ -117,8 +129,6 @@ class StreamingEngine:
         x = jnp.asarray(x)
         if self.mesh is None:
             return x
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        from tepose_tpu.parallel.mesh import DATA_AXIS
         spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
         return jax.device_put(x, NamedSharding(self.mesh, spec))
 
@@ -162,13 +172,7 @@ class StreamingEngine:
     def _extract_features_multi(self, crops_list):
         if not crops_list:
             return []
-        dtypes = {np.asarray(c).dtype.str for c in crops_list}
-        if len(dtypes) > 1:
-            # np.concatenate would silently promote u8 to f32 and skip the
-            # on-device /255+ImageNet normalisation for those crops
-            raise ValueError(
-                f"mixed crop dtypes {sorted(dtypes)}: pass all-uint8 (raw) "
-                "or all-float32 (ImageNet-normalised) tracklets")
+        _check_same_dtype(crops_list)
         lens = [len(c) for c in crops_list]
         flat = np.concatenate([np.ascontiguousarray(c) for c in crops_list])
         feats = np.empty((len(flat), 2048), np.float32)
@@ -211,32 +215,36 @@ class StreamingEngine:
 
     # ----------------------------------------------------------------- stream
 
+    def _boot_and_scan(self, tepose_params, vibe_params, model, feats,
+                       theta_pseu, W):
+        """VIBE first-window bootstrap + lane-batched theta-feedback scan
+        (the shared tail of the feature-level and fused crop-level
+        programs). ref: demo.py:229-252."""
+        S = self.model_cfg.seqlen
+        vibe_out = vibe_apply(vibe_params, model, feats[:, :S],
+                              self.vibe_cfg)
+        boot = {k: vibe_out[k][:, :S - 1]
+                for k in ("theta", "verts", "kp_3d", "kp_2d")}
+        scanned = fast_stream_scan(
+            tepose_params, model, feats, theta_pseu, self.model_cfg, W,
+            outputs=("theta", "verts", "kp_3d", "kp_2d"))
+        return {k: jnp.concatenate([boot[k], scanned[k]], axis=1)
+                for k in boot}
+
     def _get_stream_fn(self, key):
         if key in self._stream_fns:
             return self._stream_fns[key]
         T_pad, _B = key if isinstance(key, tuple) else (key, 1)
-        S = self.model_cfg.seqlen
-        W = T_pad - S + 1
+        W = T_pad - self.model_cfg.seqlen + 1
         packer = self._gen_packer
         smpl_template = self.smpl
-        mcfg, vcfg = self.model_cfg, self.vibe_cfg
 
         @jax.jit
         def stream(flats, feats, theta_pseu):
             tepose_params, vibe_params, smpl_t = packer.unpack(flats)
             model = unpack_smpl(smpl_template, smpl_t)
-
-            vibe_out = vibe_apply(vibe_params, model, feats[:, :S], vcfg)
-            boot = {k: vibe_out[k][:, :S - 1]
-                    for k in ("theta", "verts", "kp_3d", "kp_2d")}
-
-            # lane-batched fast scan — ~3x lower latency at small batch
-            # (see streaming/fast_scan.py for measurements)
-            scanned = fast_stream_scan(
-                tepose_params, model, feats, theta_pseu, mcfg, W,
-                outputs=("theta", "verts", "kp_3d", "kp_2d"))
-            return {k: jnp.concatenate([boot[k], scanned[k]], axis=1)
-                    for k in boot}
+            return self._boot_and_scan(tepose_params, vibe_params, model,
+                                       feats, theta_pseu, W)
 
         self._stream_fns[key] = stream
         return stream
@@ -264,11 +272,7 @@ class StreamingEngine:
         for c in crops_list:
             if len(c) < S:
                 raise ValueError(f"tracklet too short: {len(c)} < {S}")
-        dtypes = {c.dtype.str for c in crops_list}
-        if len(dtypes) > 1:
-            raise ValueError(
-                f"mixed crop dtypes {sorted(dtypes)}: pass all-uint8 (raw) "
-                "or all-float32 (ImageNet-normalised) tracklets")
+        _check_same_dtype(crops_list)
         if theta_pseu_list is None:
             theta_pseu_list = [None] * len(crops_list)
 
@@ -319,7 +323,6 @@ class StreamingEngine:
         W = T_pad - S + 1
         bbp, packer = self._bb_packer, self._gen_packer
         smpl_template = self.smpl
-        mcfg, vcfg = self.model_cfg, self.vibe_cfg
         chunk = self.crop_batch
         n_chunks = max(-(-(B_pad * T_pad) // chunk), 1)
         bb_dtype = self.backbone_dtype
@@ -364,14 +367,8 @@ class StreamingEngine:
                 feats = feats.reshape(-1, 2048)[:B_pad * T_pad]
                 feats = feats.reshape(B_pad, T_pad, 2048)
 
-            vibe_out = vibe_apply(vibe_params, model, feats[:, :S], vcfg)
-            boot = {k: vibe_out[k][:, :S - 1]
-                    for k in ("theta", "verts", "kp_3d", "kp_2d")}
-            scanned = fast_stream_scan(
-                tepose_params, model, feats, theta_pseu, mcfg, W,
-                outputs=("theta", "verts", "kp_3d", "kp_2d"))
-            return {k: jnp.concatenate([boot[k], scanned[k]], axis=1)
-                    for k in boot}
+            return self._boot_and_scan(tepose_params, vibe_params, model,
+                                       feats, theta_pseu, W)
 
         self._fused_fns[key] = fused
         return fused

@@ -41,6 +41,16 @@ from tepose_tpu.models.tepose import TePoseConfig
 # v5e, bit-identical outputs)
 PRECOMPUTE_PROJ_BYTES = 6 << 30
 
+# Why no Pallas fused window-step kernel: the theta feedback makes the scan
+# serial per stream, so each step must re-read the recurrent weights
+# (~75 MB f32 of hidden projections across lanes/layers — far over the
+# ~16 MB/core VMEM), putting a weight-streaming floor of ~90 us/step on ANY
+# implementation; at large B the measured step is compute-bound near the
+# MXU roofline already, and at small B the gap to that floor is what a
+# kernel could recover — not worth the complexity at ~2,000x the realtime
+# target. The wins that did pay are algorithmic: lane-batching
+# (fast_encoder) and hoisting the frame projections (above).
+
 
 def fast_stream_scan(
     gen_params: Dict,
