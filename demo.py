@@ -11,9 +11,12 @@ optional 1-euro smoothing -> mesh overlay render -> output video.
                   --staf_dir <openpose json dir>]
   python demo.py --synthetic          # smoke-run on a generated video
 
-Person detection is built in: a background-subtraction motion detector +
-IoU tracker handles multi-person footage with no external model (replacing
-the reference's yolov3-via-MPT, demo.py:87-100). External detections
+Person detection is built in and auto-selected: a background-subtraction
+motion detector for static-camera footage, a global-motion-compensated
+(stabilized) variant for handheld/panning footage, + IoU tracking — no
+external model (replacing the reference's yolov3-via-MPT, demo.py:87-100;
+the baked-in OpenCV 5 dropped HOGDescriptor, so camera-motion compensation
+stands in for an appearance detector). External detections
 (--detections npz), OpenPose STAF (--tracking_method pose --staf_dir, runs
 the binary if installed), or --detector none (full-frame) are alternatives.
 Rendering uses the built-in native rasterizer (no pyrender/EGL).
@@ -50,11 +53,14 @@ def parse_args():
     p.add_argument("--staf_dir", type=str, default="",
                    help="OpenPose STAF install dir (runs the binary) or a "
                         "folder of precomputed keypoint JSONs")
-    p.add_argument("--detector", type=str, default="motion",
-                   choices=["motion", "none"],
+    p.add_argument("--detector", type=str, default="auto",
+                   choices=["auto", "motion", "stabilized", "none"],
                    help="built-in detector when no --detections are given: "
-                        "'motion' = background-subtraction multi-person "
-                        "proposals, 'none' = single full-frame tracklet")
+                        "'auto' = probe camera motion and pick; 'motion' = "
+                        "background-subtraction proposals (static camera); "
+                        "'stabilized' = global-motion-compensated background "
+                        "subtraction (handheld/panning footage); 'none' = "
+                        "single full-frame tracklet")
     p.add_argument("--yolo_img_size", type=int, default=416,
                    help="ignored: the built-in detector replaces yolov3 "
                         "(pass --detections for external detector output)")
@@ -159,17 +165,20 @@ def main():
 
             json_dir = osp.join(args.output_folder, "staf_json")
             tracklets = run_staf(args.vid_file, json_dir, args.staf_dir)
-    elif args.detector == "motion":
-        from tepose_tpu.streaming.tracker import detect_people_motion
+    elif args.detector in ("auto", "motion", "stabilized"):
+        from tepose_tpu.streaming import tracker as TRK
 
-        tracklets = detect_people_motion(frames)
-        print(f"Motion detector found {len(tracklets)} tracklet(s)")
+        det = {"auto": TRK.detect_people_auto,
+               "motion": TRK.detect_people_motion,
+               "stabilized": TRK.detect_people_stabilized}[args.detector]
+        tracklets = det(frames)
+        print(f"{args.detector} detector found {len(tracklets)} tracklet(s)")
         if not tracklets:
-            print("Nothing moved; falling back to a full-frame tracklet")
+            print("Nothing detected; falling back to a full-frame tracklet")
             tracklets = detect_people_simple(frames[0].shape, num_frames)
     else:
         print("Detector disabled; using a full-frame tracklet "
-              "(pass --detections or --detector motion for multi-person)")
+              "(pass --detections or --detector auto for multi-person)")
         tracklets = detect_people_simple(frames[0].shape, num_frames)
     timer.totals["track"] += time.time() - _track_t0
     timer.counts["track"] += 1

@@ -54,13 +54,126 @@ def test_motion_detector_static_scene_empty():
     assert detect_people_motion(frames) == {}
 
 
-def test_demo_two_person_end_to_end(tmp_path, monkeypatch):
-    """demo.py on a raw 2-person video with NO external detections produces
-    2 tracklets and renders 2 meshes (tiny model sizes for CPU speed)."""
+def _panning_two_person_frames(n_frames=60, h=240, w=320, seed=0,
+                               pan_px=4.0):
+    """Textured WORLD scene viewed through a camera panning right at
+    `pan_px` px/frame, with two moving figures. The plain motion detector's
+    static-background assumption breaks here (most of the frame differs
+    from the median); the stabilized detector must recover both people."""
+    import cv2
+
+    rs = np.random.RandomState(seed)
+    world_w = w + int(pan_px * n_frames) + 8
+    # strong texture so optical flow has features to track
+    world = rs.randint(0, 255, (h, world_w, 3)).astype(np.uint8)
+    world = cv2.GaussianBlur(world, (7, 7), 2)
+    frames, truths = [], []
+    for t in range(n_frames):
+        ox = int(round(pan_px * t))
+        img = world[:, ox:ox + w].copy()
+        # person positions in WORLD coords -> camera coords
+        wx1 = int(w * 0.30 + pan_px * n_frames * 0.5
+                  + 20 * np.sin(t / 9.0))
+        wy1 = int(h * 0.45 + 10 * np.cos(t / 7.0))
+        wx2 = int(w * 0.75 + pan_px * n_frames * 0.5 + 18 * np.sin(t / 6.0))
+        wy2 = int(h * 0.55 + 12 * np.sin(t / 11.0))
+        cv2.circle(img, (wx1 - ox, wy1), 24, (220, 170, 60), -1)
+        cv2.circle(img, (wx2 - ox, wy2), 27, (60, 180, 220), -1)
+        frames.append(img)
+        truths.append(((wx1 - ox, wy1), (wx2 - ox, wy2)))
+    return frames, truths
+
+
+def test_stabilized_detector_panning_two_people():
+    """VERDICT r2 #1: panning clip with two figures -> 2 correct tracklets
+    (the ref's yolo capability, demo.py:87-100, without pretrained weights)."""
+    from tepose_tpu.streaming.tracker import detect_people_stabilized
+
+    frames, truths = _panning_two_person_frames()
+    tracklets = detect_people_stabilized(frames)
+    long_tracks = sorted(
+        (v for v in tracklets.values() if len(v["frames"]) >= 25),
+        key=lambda v: -len(v["frames"]))[:2]
+    assert len(long_tracks) == 2, \
+        [len(v["frames"]) for v in tracklets.values()]
+
+    # each long track follows one of the true figures (median center within
+    # one person-radius), and the two tracks cover different figures
+    matched = set()
+    for tr in long_tracks:
+        errs = []
+        for pi in range(2):
+            d = [np.hypot(tr["bbox"][k, 0] - truths[f][pi][0],
+                          tr["bbox"][k, 1] - truths[f][pi][1])
+                 for k, f in enumerate(tr["frames"])]
+            errs.append(np.median(d))
+        pi = int(np.argmin(errs))
+        assert errs[pi] < 30, errs
+        matched.add(pi)
+    assert matched == {0, 1}
+
+    # boxes never degrade to (near) full-frame
+    for tr in long_tracks:
+        assert np.median(tr["bbox"][:, 2]) < 120, tr["bbox"][:, 2]
+
+
+def test_plain_motion_detector_degrades_on_pan():
+    """Establishes the gap the stabilized detector closes: under a pan the
+    static-background detector produces no per-figure tracklets (garbage/
+    full-frame coverage instead)."""
+    from tepose_tpu.streaming.tracker import detect_people_motion
+
+    frames, truths = _panning_two_person_frames()
+    tracklets = detect_people_motion(frames)
+    good = 0
+    for tr in tracklets.values():
+        if len(tr["frames"]) < 25 or np.median(tr["bbox"][:, 2]) > 120:
+            continue  # short or full-frame-ish
+        for pi in range(2):
+            d = [np.hypot(tr["bbox"][k, 0] - truths[f][pi][0],
+                          tr["bbox"][k, 1] - truths[f][pi][1])
+                 for k, f in enumerate(tr["frames"])]
+            if np.median(d) < 30:
+                good += 1
+    assert good < 2, "plain detector handles pans now; retire stabilized?"
+
+
+def test_auto_detector_picks_by_camera_motion():
+    from tepose_tpu.streaming import tracker as TRK
+
+    # static scene -> motion path (same result as detect_people_motion)
+    static = _two_person_frames()
+    auto_static = TRK.detect_people_auto(static)
+    plain = TRK.detect_people_motion(static)
+    assert len(auto_static) == len(plain)
+
+    # panning scene -> stabilized path: both people found
+    frames, truths = _panning_two_person_frames()
+    tracklets = TRK.detect_people_auto(frames)
+    long_tracks = [v for v in tracklets.values() if len(v["frames"]) >= 25
+                   and np.median(v["bbox"][:, 2]) < 120]
+    assert len(long_tracks) >= 2, \
+        [len(v["frames"]) for v in tracklets.values()]
+
+
+def test_estimate_camera_motion_recovers_pan():
+    from tepose_tpu.streaming.tracker import estimate_camera_motion
+
+    frames, _ = _panning_two_person_frames(n_frames=30)
+    transforms, steps = estimate_camera_motion(frames)
+    # camera pans right 4 px/frame at full res = 4 px at work width 320
+    assert np.median(steps) > 2.5, steps
+    # cumulative transform maps frame t into frame 0 coords: a point fixed
+    # in the world drifts left in camera coords, so +x translation grows
+    assert transforms[-1][0, 2] > 40, transforms[-1]
+
+
+def _run_demo_on_frames(tmp_path, monkeypatch, frames, detector):
+    """Drive demo.py on raw frames with a built-in detector and tiny model
+    sizes (CPU speed); returns the loaded output pickle {person_id: ...}."""
     import sys
 
     import cv2
-    import dataclasses
 
     import demo as demo_cli
     import tepose_tpu.models.smpl as smpl_mod
@@ -80,7 +193,6 @@ def test_demo_two_person_end_to_end(tmp_path, monkeypatch):
         lambda **kw: OrigV(**{**kw, "n_layers": 1, "hidden_size": 16}))
 
     vid = str(tmp_path / "two.mp4")
-    frames = _two_person_frames(n_frames=40)
     wr = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 25,
                          (frames[0].shape[1], frames[0].shape[0]))
     for f in frames:
@@ -90,13 +202,32 @@ def test_demo_two_person_end_to_end(tmp_path, monkeypatch):
     out_dir = str(tmp_path / "out")
     monkeypatch.setattr(sys, "argv", [
         "demo.py", "--vid_file", vid, "--output_folder", out_dir,
-        "--synthetic", "--save_pkl", "--detector", "motion"])
+        "--synthetic", "--save_pkl", "--detector", detector])
     demo_cli.main()
 
     import joblib
 
     pkl = osp.join(out_dir, "tepose_two_output.pkl")
     assert osp.isfile(pkl), os.listdir(out_dir)
-    results = joblib.load(pkl)
-    assert len(results) >= 2, f"expected >=2 people, got {list(results)}"
     assert osp.isfile(osp.join(out_dir, "tepose_two_result.mp4"))
+    return joblib.load(pkl)
+
+
+def test_demo_two_person_end_to_end(tmp_path, monkeypatch):
+    """demo.py on a raw 2-person video with NO external detections produces
+    2 tracklets and renders 2 meshes."""
+    results = _run_demo_on_frames(
+        tmp_path, monkeypatch, _two_person_frames(n_frames=40), "motion")
+    assert len(results) >= 2, f"expected >=2 people, got {list(results)}"
+
+
+def test_demo_panning_two_person_end_to_end(tmp_path, monkeypatch):
+    """VERDICT r2 #1 done-criterion: a panning clip with two moving figures
+    yields 2 correct (not full-frame) tracklets end-to-end through demo.py
+    with the default auto detector."""
+    frames, _ = _panning_two_person_frames(n_frames=40)
+    results = _run_demo_on_frames(tmp_path, monkeypatch, frames, "auto")
+    assert len(results) >= 2, f"expected >=2 people, got {list(results)}"
+    # person boxes, not full-frame fallbacks
+    for pid, r in results.items():
+        assert np.median(r["bboxes"][:, 2]) < 200, r["bboxes"][:, 2]
