@@ -30,6 +30,29 @@ assert len(jax.devices()) == 8, jax.devices()
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Two-tier suite (VERDICT r2 #8): `pytest -m "not heavy"` is the ~5-min
+# pre-commit tier; the full run (~40 min) adds the compile-heavy engine/CLI/
+# multichip suites and the reference-parity suites (which import the
+# reference's own torch modules). Classification from measured durations
+# (2026-08, --durations=50): every module here has tests >=15 s, dominated
+# by jit compiles of flagship-shaped programs.
+HEAVY_MODULES = {
+    "test_multichip_train", "test_nan_guard", "test_engine",
+    "test_golden_model", "test_trainer", "test_evaluate_cli",
+    "test_evaluator", "test_strict_precision", "test_preprocess",
+    "test_smplify", "test_disc_converter", "test_parity_extras",
+    "test_loss", "test_gcn", "test_packing", "test_backbone", "test_models",
+    "test_reference_parity", "test_reference_eval_parity",
+    "test_reference_grad_parity", "test_reference_data_parity",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if (item.module.__name__ in HEAVY_MODULES
+                or "end_to_end" in item.name):
+            item.add_marker(pytest.mark.heavy)
+
 
 @pytest.fixture
 def rng():

@@ -17,6 +17,7 @@ import numpy as np
 import pytest
 import torch
 
+import jax
 import jax.numpy as jnp
 
 import reference_shims as shims
@@ -393,3 +394,257 @@ def test_train_time_accel_metrics_parity(ref_env):
     np.testing.assert_allclose(
         accel_error_masked(joints, target, vidlen, seqlen), ref_err,
         rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Trainer-validation parity (ref: trainer.py:294-360 validate, :437-503
+# evaluate) — the checkpoint-selection path, VERDICT r2 #4
+# ---------------------------------------------------------------------------
+
+
+def _reference_trainer_validate(model, batches, jreg_t, seqlen):
+    """The reference Trainer.validate + evaluate loop, transcribed from
+    trainer.py:294-360,437-503 with the real torch generator — including
+    the GLOBAL per-video theta tensor indexed by target['index']
+    (trainer.py:316-336), the row filter j < vidlen-S+1, and the
+    time-index target "pelvis" quirk at trainer.py:469."""
+    from lib.utils.eval_utils import (
+        batch_compute_similarity_transform_torch,
+        compute_accel,
+        compute_error_accel,
+        compute_error_verts,
+    )
+
+    S = seqlen
+    acc = {k: [] for k in ("pred_verts", "target_theta", "pred_j3d",
+                           "target_j3d", "pred_j3d_tsr", "target_j3d_tsr",
+                           "vidlen_each")}
+    n_total = sum(b["kp_2d"].shape[0] for b in batches)
+    theta_input = None
+    for i, target in enumerate(batches):
+        acc["target_j3d_tsr"].append(target["kp_3d"])
+        acc["vidlen_each"].append(target["vidlen_each"])
+        B, T = target["kp_2d"].shape[:2]
+        idx = target["index"].view(-1).long()
+        for j in range(T - S + 1):
+            if j == 0:
+                if i == 0:
+                    theta_input = torch.zeros((n_total, T, 85)).float()
+                theta_input[idx, :S - 1, :] = target["theta_pseu"][:, :S - 1]
+                pred_j3d_tsr = torch.zeros(
+                    (B, T, target["kp_3d"].shape[2], 3)).float()
+            with torch.no_grad():
+                inp = torch.zeros((B, S, 2048 + 85)).float()
+                inp[:, :, :2048] = target["features"][:, j:j + S, :]
+                inp[:, :S - 1, 2048:] = theta_input[idx, j:j + S - 1, :]
+                preds = model(inp, J_regressor=jreg_t)
+                n_kp = preds[-1]["kp_3d"].shape[-2]
+                pred_j3d = preds[-1]["kp_3d"].view(-1, n_kp, 3)
+                target_j3d = target["kp_3d"][:, j + S - 1].view(-1, n_kp, 3)
+                pred_verts = preds[-1]["verts"].view(-1, NUM_VERTS, 3)
+                target_theta = target["theta"][:, j + S - 1].view(-1, 85)
+                theta_input[idx, j + S - 1, :] = preds[-1]["theta"]
+
+                sel = j < (target["vidlen_each"].view(-1) - S + 1)
+                acc["pred_verts"].append(pred_verts[sel])
+                acc["target_theta"].append(target_theta[sel])
+                acc["pred_j3d"].append(pred_j3d[sel])
+                acc["target_j3d"].append(target_j3d[sel])
+                pred_j3d_tsr[:, j + S - 1, :, :] = pred_j3d
+        acc["pred_j3d_tsr"].append(pred_j3d_tsr)
+
+    # ---- Trainer.evaluate (trainer.py:437-503) ----------------------------
+    acc = {k: torch.cat(v, dim=0) for k, v in acc.items()}
+    pred_j3ds = acc["pred_j3d"]
+    target_j3ds = acc["target_j3d"]
+    pred_pelvis = (pred_j3ds[:, [2], :] + pred_j3ds[:, [3], :]) / 2.0
+    target_pelvis = (target_j3ds[:, [2], :] + target_j3ds[:, [3], :]) / 2.0
+    pred_j3ds = pred_j3ds - pred_pelvis
+    target_j3ds = target_j3ds - target_pelvis
+    errors = torch.sqrt(((pred_j3ds - target_j3ds) ** 2).sum(dim=-1)) \
+        .mean(dim=-1).numpy()
+    S1_hat = batch_compute_similarity_transform_torch(pred_j3ds,
+                                                      target_j3ds)
+    errors_pa = torch.sqrt(((S1_hat - target_j3ds) ** 2).sum(dim=-1)) \
+        .mean(dim=-1).numpy()
+
+    m2mm = 1000
+    vidlen_each = acc["vidlen_each"]
+    pred_j3ds_tsr = acc["pred_j3d_tsr"].clone()
+    target_j3ds_tsr = acc["target_j3d_tsr"].clone()
+    pred_pelvis_tsr = (pred_j3ds_tsr[:, :, [2], :]
+                       + pred_j3ds_tsr[:, :, [3], :]) / 2.0
+    # the reference's time-index target quirk, trainer.py:469, verbatim
+    target_pelvis_tsr = (target_j3ds_tsr[:, [2], :]
+                         + target_j3ds_tsr[:, [3], :]) / 2.0
+    pred_j3ds_tsr = pred_j3ds_tsr - pred_pelvis_tsr
+    target_j3ds_tsr = target_j3ds_tsr - target_pelvis_tsr
+
+    accel = compute_accel(pred_j3ds_tsr, vidlen_each, S) * m2mm
+    accel_err = compute_error_accel(
+        joints_pred=pred_j3ds_tsr, joints_gt=target_j3ds_tsr,
+        vidlen_each=vidlen_each, seqlen=S) * m2mm
+    pve = np.mean(compute_error_verts(
+        target_theta=acc["target_theta"],
+        pred_verts=acc["pred_verts"])) * m2mm
+    return {
+        "mpjpe": float(np.mean(errors) * m2mm),
+        "pa-mpjpe": float(np.mean(errors_pa) * m2mm),
+        "accel": float(accel),
+        "accel_err": float(accel_err),
+        "pve": float(pve),
+    }
+
+
+def test_trainer_validate_parity(ref_env):
+    """Our validate_epoch (the checkpoint-selection metrics) must match the
+    reference Trainer.validate/evaluate run with the real torch generator
+    over 2 batches of ragged-length videos — including the global-index
+    theta tensor semantics and every metric in the dict."""
+    from lib.models.tepose import TePose
+
+    from tepose_tpu.train.validate import validate_epoch
+
+    torch.manual_seed(17)
+    model = TePose(seqlen=S, n_layers=2, hidden_size=256, pretrained="")
+    model.eval()
+
+    rs = np.random.RandomState(23)
+    B, T, K = 3, 13, 14
+    jreg = rs.rand(17, NUM_VERTS).astype(np.float32)
+    jreg /= jreg.sum(axis=1, keepdims=True)
+    vidlens = [np.array([13, 9, 11], np.float32),
+               np.array([13, 7, 12], np.float32)]
+
+    batches_np = []
+    for bi, vl in enumerate(vidlens):
+        batches_np.append({
+            "features": rs.randn(B, T, 2048).astype(np.float32) * 0.2,
+            "theta_pseu": rs.randn(B, T, 85).astype(np.float32) * 0.2,
+            "kp_2d": np.zeros((B, T, 49, 3), np.float32),  # shape carrier
+            "kp_3d": rs.randn(B, T, K, 3).astype(np.float32) * 0.3,
+            "theta": rs.randn(B, T, 85).astype(np.float32) * 0.2,
+            "vidlen_each": vl,
+            "index": np.arange(bi * B, (bi + 1) * B, dtype=np.int64),
+        })
+
+    t = torch.from_numpy
+    ref = _reference_trainer_validate(
+        model, [{k: t(v) for k, v in b.items()} for b in batches_np],
+        t(jreg), S)
+
+    gen_params = convert_torch_generator(model.state_dict())
+    model_cfg = TePoseConfig(seqlen=S, n_layers=2, hidden_size=256)
+    ours = validate_epoch(gen_params, ref_env["smpl"], model_cfg,
+                          batches_np, jreg, seqlen=S)
+
+    for key in ("mpjpe", "pa-mpjpe", "accel", "accel_err", "pve"):
+        np.testing.assert_allclose(ours[key], ref[key], rtol=2e-4,
+                                   err_msg=key)
+
+
+# ---------------------------------------------------------------------------
+# File-level checkpoint conversion dress rehearsal (VERDICT r2 #5)
+# ref: trainer.py:392-401 (save layout), lib/utils/utils.py:40-45 (module.)
+# ---------------------------------------------------------------------------
+
+
+def test_checkpoint_file_conversion_rehearsal(ref_env, tmp_path, monkeypatch):
+    """torch.save a reference-layout .pth.tar (real TePose + GCN state
+    dicts, performance/epoch, plus a DataParallel 'module.'-prefixed twin),
+    drive tools/convert_checkpoint.py's CLI on both files, load the npz via
+    the same load_checkpoint evaluate.py:build_models uses, and pin the
+    eval rollout of the converted weights against the torch rollout."""
+    import sys
+
+    from lib.models.motion_discriminator_gcn import MotionDiscriminatorGCN
+    from lib.models.tepose import TePose
+    from lib.models.vibe import VIBE
+
+    import tools.convert_checkpoint as cc
+    from tepose_tpu.train.checkpoint import load_checkpoint
+
+    torch.manual_seed(33)
+    model = TePose(seqlen=S, n_layers=2, hidden_size=256, pretrained="")
+    model.eval()
+    disc = MotionDiscriminatorGCN(
+        num_class=2, num_point=24, num_person=1, num_gcn_scales=13,
+        num_g3d_scales=6, graph="lib.graph.smplx_theta.AdjMatrixGraph")
+
+    # the exact save layout of Trainer.save_model (trainer.py:392-401);
+    # optimizer/scheduler states present but ignored by the converter
+    save_dict = {
+        "epoch": 7,
+        "gen_state_dict": model.state_dict(),
+        "performance": 52.25,
+        "lr_scheduler": {"factor": 0.1},
+        "gen_optimizer": {"state": {}},
+        "disc_motion_state_dict": disc.state_dict(),
+        "disc_motion_optimizer": {"state": {}},
+    }
+    src = tmp_path / "checkpoint.pth.tar"
+    torch.save(save_dict, str(src))
+    # DataParallel twin: every weight key prefixed with 'module.'
+    dp_dict = dict(save_dict)
+    dp_dict["gen_state_dict"] = {
+        "module." + k: v for k, v in model.state_dict().items()}
+    dp_dict["disc_motion_state_dict"] = {
+        "module." + k: v for k, v in disc.state_dict().items()}
+    src_dp = tmp_path / "checkpoint_dp.pth.tar"
+    torch.save(dp_dict, str(src_dp))
+
+    outs = {}
+    for name, path in (("plain", src), ("dp", src_dp)):
+        dst = tmp_path / f"{name}.npz"
+        monkeypatch.setattr(sys, "argv", [
+            "convert_checkpoint.py", str(path), str(dst),
+            "--kind", "tepose"])
+        cc.main()
+        outs[name] = load_checkpoint(str(dst))
+
+    trees, scalars = outs["plain"]
+    assert scalars["epoch"] == 7 and scalars["performance"] == 52.25
+    assert set(trees) >= {"gen", "disc", "disc_state"}
+
+    # module.-prefixed file converts to byte-identical trees
+    dp_trees, _ = outs["dp"]
+    flat_a = jax.tree_util.tree_leaves_with_path(trees["gen"])
+    flat_b = jax.tree_util.tree_leaves_with_path(dp_trees["gen"])
+    assert len(flat_a) == len(flat_b) > 20
+    for (pa, va), (pb, vb) in zip(flat_a, flat_b):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+    # the converted-file weights drive the eval rollout to the same numbers
+    # as the torch modules themselves (the exact path a released checkpoint
+    # takes through evaluate.py:build_models -> make_eval_scan)
+    torch.manual_seed(34)
+    model_vibe = VIBE(seqlen=16, n_layers=2, hidden_size=256,
+                      add_linear=True, pretrained="")
+    model_vibe.eval()
+    vibe_params = convert_torch_generator(model_vibe.state_dict(),
+                                          has_vibe_encoder=True)
+
+    rs = np.random.RandomState(41)
+    F = 11
+    feats = rs.randn(F, 2048).astype(np.float32) * 0.2
+    theta_pseu = rs.randn(S - 1, 85).astype(np.float32) * 0.2
+    theta_gt = rs.randn(F, 85).astype(np.float32) * 0.2
+
+    ref_j3d, ref_theta, _ = _reference_rollout(
+        model, model_vibe, feats, theta_pseu, None)
+
+    eval_fn = make_eval_scan(ref_env["smpl"],
+                             TePoseConfig(seqlen=S, n_layers=2,
+                                          hidden_size=256),
+                             VibeConfig(seqlen=16, n_layers=2,
+                                        hidden_size=256, add_linear=True),
+                             num_windows=F - S + 1, use_j_regressor=False)
+    out = eval_fn(trees["gen"], vibe_params, jnp.asarray(feats[None]),
+                  jnp.asarray(theta_pseu[None]),
+                  jnp.asarray(theta_gt[None]),
+                  jnp.zeros((17, NUM_VERTS), jnp.float32))
+    np.testing.assert_allclose(np.asarray(out["pred_theta"][0]), ref_theta,
+                               atol=3e-4)
+    np.testing.assert_allclose(np.asarray(out["pred_j3d"][0]), ref_j3d,
+                               atol=3e-4)
