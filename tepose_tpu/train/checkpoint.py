@@ -110,6 +110,13 @@ def _to_np(t) -> np.ndarray:
                       dtype=np.float32)
 
 
+def strip_module_prefix(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """Drop the 'module.' prefix DataParallel-era torch checkpoints carry
+    (ref: lib/utils/utils.py:40-45, check_data_pararell)."""
+    return {(k[7:] if k.startswith("module.") else k): v
+            for k, v in state_dict.items()}
+
+
 def convert_torch_generator(state_dict: Dict[str, Any],
                             has_vibe_encoder: bool = False) -> Dict:
     """Map a TePose/VIBE generator torch state_dict onto our param pytree.
@@ -127,7 +134,7 @@ def convert_torch_generator(state_dict: Dict[str, Any],
     so conversion is pure renaming.
     """
     params: Dict[str, Any] = {"encoder": {}, "regressor": {}}
-    for key, val in state_dict.items():
+    for key, val in strip_module_prefix(state_dict).items():
         parts = key.split(".")
         if parts[0] == "encoder":
             if parts[1] in ("gru_fwd", "gru_rec", "gru"):
@@ -167,7 +174,7 @@ def convert_torch_discriminator(
             node = node[p]
         node[path[-1]] = jnp.asarray(val)
 
-    for key, val in state_dict.items():
+    for key, val in strip_module_prefix(state_dict).items():
         v = _to_np(val)
         parts = key.split(".")
         name = parts[0]

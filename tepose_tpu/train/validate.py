@@ -130,7 +130,12 @@ def validate_epoch(gen_params, smpl, model_cfg: TePoseConfig, valid_loader,
     t_all = np.concatenate([pad_T(t) for t in tgt_tsr], axis=0)
     v_all = np.concatenate(vlens, axis=0)
     p_all = p_all - (p_all[:, :, [2]] + p_all[:, :, [3]]) / 2.0
-    t_all = t_all - (t_all[:, :, [2]] + t_all[:, :, [3]]) / 2.0
+    # ref trainer.py:469 "aligns" the target tensor with TIME indices
+    # [2],[3] (not the pelvis joints) — a time-constant per-joint offset
+    # that cancels in the accel second difference. Replicated literally so
+    # accel_err matches the reference's checkpoint-selection numbers
+    # (pinned in tests/test_reference_eval_parity.py).
+    t_all = t_all - (t_all[:, [2]] + t_all[:, [3]]) / 2.0
 
     accel = M.accel_magnitude_masked(p_all, v_all, S) * m2mm
     accel_err = M.accel_error_masked(p_all, t_all, v_all, S) * m2mm

@@ -33,7 +33,8 @@ def main() -> None:
     import torch  # CPU torch, only needed for conversion
 
     from tepose_tpu.train.checkpoint import (
-        convert_torch_discriminator, convert_torch_generator, save_checkpoint)
+        convert_torch_discriminator, convert_torch_generator, save_checkpoint,
+        strip_module_prefix)
 
     ckpt = torch.load(args.src, map_location="cpu", weights_only=False)
 
@@ -52,6 +53,10 @@ def main() -> None:
                 scalars[k] = float(np.asarray(ckpt[k]))
     else:  # spin
         sd = ckpt["model"] if "model" in ckpt else ckpt
+        # DataParallel-era checkpoints carry 'module.' prefixes
+        # (ref: lib/utils/utils.py:40-45); the tepose/vibe branch strips
+        # them inside convert_torch_generator/discriminator
+        sd = strip_module_prefix(sd)
         # regressor head (keys fc1/fc2/dec*/init_* at top level in HMR)
         gen = {"regressor": {}}
         for key, val in sd.items():
