@@ -70,6 +70,9 @@ def _backbone_chunk(bb_params, crops, dtype=None):
     return resnet50_features(bb_params, crops).astype(jnp.float32)
 
 
+ENGINE_OUTPUTS = ("theta", "verts", "kp_3d", "kp_2d")
+
+
 class StreamingEngine:
     """Per-tracklet streaming inference with device-resident weights."""
 
@@ -77,7 +80,8 @@ class StreamingEngine:
                  backbone_params, model_cfg: TePoseConfig,
                  vibe_cfg: VibeConfig, crop_batch: int = 32,
                  window_bucket: int = 64, max_frames_per_call: int = 4096,
-                 backbone_dtype=None, mesh=None):
+                 backbone_dtype=None, mesh=None,
+                 outputs=ENGINE_OUTPUTS, output_dtype=None):
         self.smpl = smpl
         self.model_cfg = model_cfg
         self.vibe_cfg = vibe_cfg
@@ -89,6 +93,22 @@ class StreamingEngine:
         # bf16 (measured 1.43x on v5e, ~0.13% relative feature error) —
         # the live-demo speed knob; eval paths should stay f32.
         self.backbone_dtype = backbone_dtype
+        # readback-traffic knobs (VERDICT r2: the link is the measured e2e
+        # bottleneck; verts are 83 KB/frame in f32):
+        #   outputs: which per-frame tensors to compute/ship, e.g.
+        #     ("theta", "kp_3d") for joints-only serving without meshes;
+        #   output_dtype: jnp.float16 halves every shipped byte except
+        #     theta (kept f32 — it feeds back into the scan and a coarse
+        #     camera/pose would compound; verts at f16 are <1 mm off,
+        #     far below render precision).
+        bad = set(outputs) - set(ENGINE_OUTPUTS)
+        if bad:
+            raise ValueError(f"unknown outputs {sorted(bad)}; "
+                             f"choose from {ENGINE_OUTPUTS}")
+        if not outputs:
+            raise ValueError("outputs must be non-empty")
+        self.outputs = tuple(outputs)
+        self.output_dtype = output_dtype
         # optional jax.sharding.Mesh: tracklet batches shard over the mesh's
         # data axis (weights replicated; each stream's theta-feedback chain
         # is independent, so serving scales with zero collectives — the
@@ -223,13 +243,18 @@ class StreamingEngine:
         S = self.model_cfg.seqlen
         vibe_out = vibe_apply(vibe_params, model, feats[:, :S],
                               self.vibe_cfg)
-        boot = {k: vibe_out[k][:, :S - 1]
-                for k in ("theta", "verts", "kp_3d", "kp_2d")}
+        boot = {k: vibe_out[k][:, :S - 1] for k in self.outputs}
         scanned = fast_stream_scan(
             tepose_params, model, feats, theta_pseu, self.model_cfg, W,
-            outputs=("theta", "verts", "kp_3d", "kp_2d"))
-        return {k: jnp.concatenate([boot[k], scanned[k]], axis=1)
-                for k in boot}
+            outputs=self.outputs)
+        out = {k: jnp.concatenate([boot[k], scanned[k]], axis=1)
+               for k in boot}
+        if self.output_dtype is not None:
+            # cast on-device just before readback; theta stays f32 (it is
+            # the feedback signal and the checkpoint-able pose params)
+            out = {k: v if k == "theta" else v.astype(self.output_dtype)
+                   for k, v in out.items()}
+        return out
 
     def _get_stream_fn(self, key):
         if key in self._stream_fns:

@@ -10,7 +10,7 @@ from tepose_tpu.models.tepose import TePoseConfig, VibeConfig, \
 from tepose_tpu.streaming.engine import StreamingEngine
 
 
-def _engine():
+def _engine(**kw):
     smpl = synthetic_smpl_model(seed=0, num_verts=64)
     mcfg = TePoseConfig(seqlen=6, n_layers=1, hidden_size=16)
     vcfg = VibeConfig(seqlen=6, n_layers=1, hidden_size=16, add_linear=True)
@@ -18,7 +18,7 @@ def _engine():
         smpl, tepose_init(jax.random.PRNGKey(0), mcfg),
         vibe_init(jax.random.PRNGKey(1), vcfg),
         resnet50_init(jax.random.PRNGKey(2)), mcfg, vcfg,
-        window_bucket=16)
+        window_bucket=16, **kw)
 
 
 def test_run_tracklets_matches_single(rng):
@@ -152,3 +152,46 @@ def test_extract_features_uint8_matches_float32(rng):
     # 50 random-weight conv layers amplify that to ~1e-3 relative (the
     # 64x64 final pool averages 4 positions, not 224's 49)
     np.testing.assert_allclose(feats_u8, feats_f32, atol=2e-3, rtol=2e-3)
+
+
+def test_f16_outputs_within_1mm(rng):
+    """VERDICT r2 #2: output_dtype=float16 halves readback bytes; verts must
+    stay within 1 mm of the f32 path (theta ships f32 regardless)."""
+    import jax.numpy as jnp
+
+    f32 = _engine()
+    f16 = _engine(output_dtype=jnp.float16)
+    feats = rng.randn(20, 2048).astype(np.float32) * 0.1
+
+    a = f32.run_tracklet(feats)
+    b = f16.run_tracklet(feats)
+    assert b["verts"].dtype == np.float16
+    assert b["kp_3d"].dtype == np.float16
+    assert b["theta"].dtype == np.float32  # feedback/pose params stay f32
+    np.testing.assert_allclose(a["theta"], b["theta"], atol=1e-5)
+    # verts are in meters: 1e-3 = 1 mm
+    err = np.abs(a["verts"] - b["verts"].astype(np.float32)).max()
+    assert err < 1e-3, f"f16 vertex error {err * 1000:.3f} mm"
+
+
+def test_joints_only_outputs(rng):
+    """outputs=(theta, kp_3d) serves without meshes: result dicts carry only
+    the requested keys and match the full engine on those keys."""
+    full = _engine()
+    slim = _engine(outputs=("theta", "kp_3d"))
+    c1 = (rng.rand(8, 3, 64, 64) * 255).astype(np.uint8)
+
+    a = full.run_tracklets_from_crops([c1])[0]
+    b = slim.run_tracklets_from_crops([c1])[0]
+    assert set(b) == {"theta", "kp_3d"}
+    np.testing.assert_allclose(a["theta"], b["theta"], atol=1e-5)
+    np.testing.assert_allclose(a["kp_3d"], b["kp_3d"], atol=1e-5)
+
+    # feature-level path honors the selection too
+    feats = rng.randn(14, 2048).astype(np.float32) * 0.1
+    assert set(slim.run_tracklet(feats)) == {"theta", "kp_3d"}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        _engine(outputs=("theta", "bogus"))
