@@ -11,10 +11,16 @@ demo.py:350-355) three ways:
      headline takes the better one);
   3. END-TO-END: raw 224x224 crops -> ResNet-50 features -> windows scan ->
      theta + full SMPL verts, the reference demo's whole per-frame cost
-     (demo.py:171-252) including host->device crop transfer.
+     (demo.py:171-252) including host->device crop transfer — in the
+     default f32-output mode plus the two readback knobs (f16 outputs,
+     joints-only).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"},
-where extra carries all three measurements.
+where extra carries every measurement plus the accounting a perf reviewer
+needs: strict-f32-matmul scan fps (the evaluate.py default's cost), MFU
+for the fused e2e program and the GAN train segment (analytic FLOPs from
+utils/flops.py over the chip's bf16 peak — see BENCH_NOTES.md), and the
+per-frame model GFLOPs decomposition.
 
 Baseline note: the reference publishes no FPS figure (BASELINE.md "Runtime").
 Its real-time claim and the demo measurement hook imply ~30 FPS per stream on
@@ -118,28 +124,51 @@ def measure_window_scans(cfg, smpl, packer, flats):
 
     plain = _time_stream(stream_plain, flats, feats, theta0, W)
     fast = _time_stream(stream_fast, flats, feats, theta0, W)
-    return plain, fast
+
+    # strict-parity cost (VERDICT r2 #6): evaluate.py defaults to
+    # jax.default_matmul_precision("float32") — full-precision f32 passes
+    # instead of the TPU's fast bf16-pass mode. Trace a fresh jit under the
+    # context so the precision is baked into the program.
+    @jax.jit
+    def stream_fast_strict(flats, feats, theta_buf):
+        with jax.default_matmul_precision("float32"):
+            params, smpl_t = packer.unpack(flats)
+            model = unpack_smpl(smpl, smpl_t)
+            out = fast_stream_scan(params, model, feats, theta_buf, cfg, W,
+                                   outputs=("theta",))
+            return jnp.swapaxes(out["theta"], 0, 1)
+
+    strict = _time_stream(stream_fast_strict, flats, feats, theta0, W,
+                          reps=3)
+    return plain, fast, strict
 
 
 def measure_end_to_end(cfg, smpl, params, n_streams=8, frames=120):
     """(3) crops -> ResNet-50 -> windows scan -> theta + verts, via the
-    production StreamingEngine (the demo's exact path, demo.py:171-252)."""
+    production StreamingEngine (the demo's exact path, demo.py:171-252).
+
+    Returns a dict: full-path and device-compute fps of the default f32
+    engine, full-path fps with f16 outputs and with the joints-only output
+    set (the two readback-traffic knobs, VERDICT r2 #2), and the device
+    MFU of the fused program (XLA-counted FLOPs vs the chip's bf16 peak)."""
     from tepose_tpu.models.backbone import resnet50_init
     from tepose_tpu.models.tepose import VibeConfig, vibe_init
     from tepose_tpu.streaming.engine import StreamingEngine
+    from tepose_tpu.utils import flops as FL
 
+    vcfg = VibeConfig(seqlen=16, n_layers=2, hidden_size=1024,
+                      add_linear=True)
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
-        vibe_params = vibe_init(
-            jax.random.PRNGKey(1),
-            VibeConfig(seqlen=16, n_layers=2, hidden_size=1024,
-                       add_linear=True))
+        vibe_params = vibe_init(jax.random.PRNGKey(1), vcfg)
         backbone = resnet50_init(jax.random.PRNGKey(2))
 
-    engine = StreamingEngine(
-        smpl, params, vibe_params, backbone, cfg,
-        VibeConfig(seqlen=16, n_layers=2, hidden_size=1024, add_linear=True),
-        crop_batch=frames, window_bucket=frames)
+    def make_engine(**kw):
+        return StreamingEngine(smpl, params, vibe_params, backbone, cfg,
+                               vcfg, crop_batch=frames,
+                               window_bucket=frames, **kw)
+
+    engine = make_engine()
 
     # raw uint8 crops, normalised on-device — the production demo path
     # (the axon link charges ~0.5 s/call + ~11 ms/MB, so u8 + big batches
@@ -148,20 +177,24 @@ def measure_end_to_end(cfg, smpl, params, n_streams=8, frames=120):
     crops = [rng.randint(0, 255, (frames, 3, 224, 224), np.uint8)
              for _ in range(n_streams)]
 
-    def run_once():
-        # fused crops->features->scan->verts: ONE upload + ONE readback
-        return engine.run_tracklets_from_crops(crops)
+    def timed_full_path(eng, reps=3):
+        outs = eng.run_tracklets_from_crops(crops)  # warmup/compile
+        assert all(np.isfinite(np.asarray(o["theta"],
+                                          np.float32)).all() for o in outs)
+        t0 = time.time()
+        for _ in range(reps):
+            outs = eng.run_tracklets_from_crops(crops)  # syncs internally
+        return n_streams * frames / ((time.time() - t0) / reps), outs
 
-    outs = run_once()  # warmup/compile (features + both scan buckets)
+    full_fps, outs = timed_full_path(engine)
     assert outs[0]["verts"].shape == (frames, smpl.num_verts, 3)
-    assert all(np.isfinite(o["theta"]).all() for o in outs)
 
-    reps = 3
-    t0 = time.time()
-    for _ in range(reps):
-        outs = run_once()  # run_tracklets already syncs via np.asarray
-    dt = (time.time() - t0) / reps
-    full_fps = n_streams * frames / dt
+    # the readback-traffic knobs (VERDICT r2: the link is the measured
+    # bottleneck of this path; f16 halves the bytes, joints-only drops the
+    # 6890x3 verts entirely)
+    f16_fps, _ = timed_full_path(make_engine(output_dtype=jnp.float16))
+    joints_fps, _ = timed_full_path(
+        make_engine(outputs=("theta", "kp_3d"), output_dtype=jnp.float16))
 
     # device-compute-only: same fused program with crops pre-staged in HBM
     # and outputs left on device. Isolates the accelerator from the axon
@@ -182,17 +215,39 @@ def measure_end_to_end(cfg, smpl, params, n_streams=8, frames=120):
             for _ in range(dev_reps)]  # async enqueue: overlaps dispatch
     np.asarray(outs[-1]["theta"][-1, -1, :1])  # one sync for the chain
     dev_fps = dev_reps * n_streams * frames / (time.time() - t0)
-    return full_fps, dev_fps
+
+    # MFU of the fused program: ANALYTIC FLOPs (utils/flops.py, pinned vs
+    # XLA's cost model per component) / measured device time / the chip's
+    # bf16 MXU peak. Whole-program cost_analysis is NOT usable here: XLA
+    # counts scan/lax.map bodies once, not x trip count (verified), and
+    # this program is loops all the way down. f32-stored weights run bf16
+    # MXU passes at default matmul precision, so the bf16 peak is the
+    # honest denominator.
+    peak = FL.peak_flops()
+    call_flops = FL.streaming_flops_per_call(
+        n_streams, frames, cfg.seqlen, cfg.n_layers, cfg.hidden_size,
+        smpl.num_verts)
+    flops_per_frame = call_flops / (n_streams * frames)
+    return {
+        "full_fps": full_fps,
+        "dev_fps": dev_fps,
+        "f16_fps": f16_fps,
+        "joints_fps": joints_fps,
+        "mfu": (dev_fps * flops_per_frame / peak) if peak else None,
+        "gflops_per_frame": flops_per_frame / 1e9,
+    }
 
 
-def measure_training(vidlen=126, num_iters=120):
+def measure_training(vidlen=126, num_iters=120, hp=None):
     """GAN training throughput at flagship shapes (batch 32 = 19 2D + 13 3D,
     hidden-1024 2-layer encoder, 13/6-scale GCN discriminator, full SMPL):
     windows/sec of the packed on-device segment (ref: trainer.py:124-247,
-    NUM_ITERS_PER_EPOCH inner loop)."""
+    NUM_ITERS_PER_EPOCH inner loop). `hp` overrides the batch shape (used
+    by tools/bench_notes.py for the batch-scaling measurement)."""
     import jax.random as jrandom
 
-    from tepose_tpu.models.gcn import motion_discriminator_init
+    from tepose_tpu.models.gcn import (
+        motion_discriminator_apply, motion_discriminator_init)
     from tepose_tpu.models.tepose import tepose_init
     from tepose_tpu.train.loss import LossWeights
     from tepose_tpu.train.optim import make_optimizer
@@ -200,7 +255,7 @@ def measure_training(vidlen=126, num_iters=120):
         TrainHyper, make_packed_train_segment)
 
     cfg = TePoseConfig(seqlen=6, n_layers=2, hidden_size=1024)
-    hp = TrainHyper()
+    hp = hp or TrainHyper()
     smpl = synthetic_smpl_model(seed=0)
 
     cpu = jax.local_devices(backend="cpu")[0]
@@ -259,7 +314,30 @@ def measure_training(vidlen=126, num_iters=120):
         np.asarray(m[:1])
     dt = (time.time() - t0) / reps
     assert np.all(np.isfinite(np.asarray(m))), "non-finite train metrics"
-    return num_iters / dt
+
+    # train MFU: analytic encoder FLOPs (the GRU scans are invisible to
+    # XLA's loop-body-once cost model) + XLA-counted regressor/disc graphs
+    # (loop-free, so exact), x3 for the combined GAN backward
+    from tepose_tpu.models.regressor import regressor_apply
+    from tepose_tpu.utils import flops as FL
+
+    peak = FL.peak_flops()
+    reg_fwd = FL.xla_flops(
+        lambda p, x: regressor_apply(p, smpl, x, compute_verts=False),
+        gen_params["regressor"], jnp.zeros((2 * B, 2048), jnp.float32))
+    disc_fwd = FL.xla_flops(
+        lambda p, s, x: motion_discriminator_apply(
+            p, s, x, num_gcn_scales=hp.num_gcn_scales,
+            num_g3d_scales=hp.num_g3d_scales)[0],
+        disc_params, disc_state, jnp.zeros((B, S, 72), jnp.float32))
+    iter_flops = FL.train_iter_flops(
+        B, cfg.seqlen, cfg.n_layers, cfg.hidden_size,
+        regressor_fwd=reg_fwd, disc_fwd=disc_fwd)
+    return {
+        "wps": num_iters / dt,
+        "mfu": (iter_flops * num_iters / dt / peak) if peak else None,
+        "gflops_per_iter": iter_flops / 1e9,
+    }
 
 
 def main() -> None:
@@ -287,11 +365,24 @@ def main() -> None:
 
     ctx = trace(profile_dir) if profile_dir else contextlib.nullcontext()
     with ctx:
-        plain_fps, fast_fps = measure_window_scans(cfg, smpl, packer, flats)
-        e2e_fps, e2e_dev_fps = measure_end_to_end(cfg, smpl, params)
-        train_wps = measure_training()
+        plain_fps, fast_fps, strict_fps = measure_window_scans(
+            cfg, smpl, packer, flats)
+        e2e = measure_end_to_end(cfg, smpl, params)
+        train = measure_training()
+
+    from tepose_tpu.utils import flops as FL
+
+    model_gflops = {k: round(v / 1e9, 3)
+                    for k, v in FL.model_flops_per_frame().items()}
+    peak = FL.peak_flops()
 
     best = max(plain_fps, fast_fps)
+    # headline-scan MFU: per-window analytic FLOPs of the fast scan
+    # (outputs=theta, so the SMPL skinning is DCE'd; the IEF head is not)
+    scan_window_flops = (FL.fast_scan_window_flops(
+        cfg.seqlen, cfg.n_layers, cfg.hidden_size)
+        + FL.regressor_ief_flops())
+    scan_mfu = (best * scan_window_flops / peak) if peak else None
     print(json.dumps({
         "metric": "streaming_fps_per_chip",
         "value": round(best, 1),
@@ -301,9 +392,33 @@ def main() -> None:
         "extra": {
             "windows_scan_plain_fps": round(plain_fps, 1),
             "windows_scan_fast_fps": round(fast_fps, 1),
-            "end_to_end_crops_to_verts_fps": round(e2e_fps, 1),
-            "end_to_end_device_compute_fps": round(e2e_dev_fps, 1),
-            "train_windows_per_sec": round(train_wps, 1),
+            "windows_scan_mfu": (round(scan_mfu, 4)
+                                 if scan_mfu is not None else None),
+            "windows_scan_strict_f32_fps": round(strict_fps, 1),
+            "strict_f32_note": "fast scan traced under jax.default_matmul_"
+                               "precision('float32') — evaluate.py's "
+                               "strict-parity default; the headline uses "
+                               "the TPU's fast bf16-pass mode",
+            "end_to_end_crops_to_verts_fps": round(e2e["full_fps"], 1),
+            "end_to_end_f16_outputs_fps": round(e2e["f16_fps"], 1),
+            "end_to_end_joints_only_f16_fps": round(e2e["joints_fps"], 1),
+            "end_to_end_device_compute_fps": round(e2e["dev_fps"], 1),
+            "e2e_device_mfu": (round(e2e["mfu"], 4)
+                               if e2e["mfu"] is not None else None),
+            "e2e_gflops_per_frame": round(e2e["gflops_per_frame"], 3),
+            "train_windows_per_sec": round(train["wps"], 1),
+            "train_mfu": (round(train["mfu"], 4)
+                          if train["mfu"] is not None else None),
+            "train_gflops_per_iter": round(train["gflops_per_iter"], 1),
+            "model_gflops_per_frame": model_gflops,
+            "peak_flops_assumed": peak,
+            "mfu_note": "MFU = analytic FLOPs (utils/flops.py, "
+                        "XLA-cross-checked per component; whole-program "
+                        "cost_analysis counts loop bodies once so it "
+                        "cannot be used) / wall time / bf16 MXU peak "
+                        f"({(peak or 0) / 1e12:.0f} TFLOP/s for this "
+                        "chip); f32 tensors run bf16 MXU passes at "
+                        "default matmul precision",
             "train_note": "full GAN segment, batch 32 (19 2D + 13 3D), "
                           "scheduled sampling + disc update, flagship "
                           "shapes (trainer.py:124-247)",
@@ -311,7 +426,8 @@ def main() -> None:
             "end_to_end_note": "8 streams x 120 frames of raw 224x224 u8 "
                                "crops through one fused ResNet-50 + windows "
                                "scan + SMPL verts program (demo.py:171-252 "
-                               "path incl. host transfers, f32 outputs)",
+                               "path incl. host transfers; f32 / f16 / "
+                               "joints-only output modes measured)",
         },
     }))
 

@@ -145,12 +145,15 @@ def run_eval(cfg, args, synthetic: bool = False, devices: int = 1):
     # ---- bucket videos by padded length to bound compile count ------------
     names = [n for n in data if len(data[n]["features"]) >= S]
     lengths = {n: len(data[n]["features"]) for n in names}
-    # Measured per-dataset optima (tools/tune_eval_batching.py on v5e):
-    # short-video sets (3dpw: median ~500 frames) want big batches —
-    # batch 32/bucket 128 = 1987 useful fps vs 1877 at batch 8; long-video
-    # sets (h36m-like: median ~1500) want SMALL batches — the host-side
-    # packing of a 32-wide long-T call serialises against the device, so
-    # batch 8/bucket 256 = 1501 fps vs 1373 at batch 32.
+    # Defaults from tools/tune_eval_batching.py runs on the real v5e —
+    # per-config numbers live in the committed artifact
+    # tools/eval_batching_sweep.json (--out writes/merges it). Caveat
+    # recorded there: the dev tunnel's bandwidth varies several-fold
+    # between runs and each eval call ships B x T_pad x 2048 f32 features,
+    # so the (MAX_B, bucket) ordering moves with link health; on a real
+    # host (PCIe) the per-call transfer is negligible and the tradeoff is
+    # compile count vs padding waste. Override per run with
+    # --eval_batch/--eval_bucket.
     long_videos = dataset != "3dpw"
     bsz = getattr(args, "eval_bucket", None) or (256 if long_videos else 128)
     bucket = lambda n: -(-lengths[n] // bsz) * bsz

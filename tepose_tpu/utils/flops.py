@@ -1,0 +1,232 @@
+"""Analytic FLOP accounting for the flagship models + chip-peak tables.
+
+VERDICT r2 #3: bench.py must report MFU, not just fps. Conventions:
+
+  * FLOPs count multiply AND add separately (one MAC = 2 FLOPs) — the same
+    convention XLA's `compiled.cost_analysis()['flops']` uses, so every
+    analytic formula here is cross-checked against XLA in
+    tests/test_flops.py (within a few % — XLA also counts the elementwise
+    tail ops the formulas ignore).
+  * MFU is quoted against the chip's bf16 MXU peak (the standard headline
+    peak; f32-precision paths have a lower achievable ceiling on TPU since
+    the MXU is a bf16 multiplier array — noted wherever reported).
+  * `xla_flops()` is the preferred source for whole-program numbers (it
+    sees the exact compiled HLO, including backward passes); the analytic
+    formulas are the human-auditable story for the per-frame model cost.
+
+ref: the reference has no FLOPs accounting anywhere (its only perf
+instrumentation is the demo FPS print, demo.py:350-355).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+
+# ---------------------------------------------------------------- chip peaks
+
+# Dense matmul peaks per chip, FLOP/s (public spec sheets; bf16 inputs with
+# f32 accumulation — the MXU's native mode, what XLA uses for bf16 and for
+# f32 at default matmul precision).
+TPU_PEAK_BF16 = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,   # v5e
+    "TPU v5": 459e12,        # v5p
+    "TPU v6 lite": 918e12,   # v6e / Trillium
+}
+
+
+def peak_flops(device=None) -> Optional[float]:
+    """bf16 MXU peak for the given (default: first) device, or None when
+    the device kind is unknown (e.g. the CPU test backend)."""
+    if device is None:
+        device = jax.devices()[0]
+    kind = getattr(device, "device_kind", "")
+    # longest matching prefix so "TPU v5" doesn't swallow "TPU v5 lite"
+    best = None
+    for k, v in TPU_PEAK_BF16.items():
+        if kind.startswith(k) and (best is None or len(k) > len(best[0])):
+            best = (k, v)
+    return best[1] if best else None
+
+
+def xla_flops(fn, *args) -> float:
+    """Total FLOPs of the compiled program for `fn(*args)` per XLA's own
+    cost model. `fn` may be a jitted function (uses its .lower) or a plain
+    callable (jitted here). Compilation hits the persistent cache."""
+    if not hasattr(fn, "lower"):
+        fn = jax.jit(fn)
+    ca = fn.lower(*args).compile().cost_analysis()
+    if isinstance(ca, list):  # older jax returns [dict]
+        ca = ca[0]
+    return float(ca["flops"])
+
+
+# ------------------------------------------------------------ conv networks
+
+def conv2d_flops(h_out: int, w_out: int, c_in: int, c_out: int,
+                 kh: int, kw: int) -> int:
+    return 2 * h_out * w_out * c_in * c_out * kh * kw
+
+
+def resnet50_flops(h: int = 224, w: int = 224) -> int:
+    """One forward pass of the SPIN ResNet-50 feature extractor per crop
+    (ref: spin.py:127-141; our models/backbone.py: stride on the 3x3,
+    torchvision v1.5 convention, folded BN so convs are the whole cost)."""
+    total = conv2d_flops(h // 2, w // 2, 3, 64, 7, 7)          # stem /2
+    hh, ww = h // 4, w // 4                                     # maxpool /2
+    c_in = 64
+    stages = ((64, 256, 3, 1), (128, 512, 4, 2),
+              (256, 1024, 6, 2), (512, 2048, 3, 2))
+    for mid, c_out, blocks, stride in stages:
+        for bi in range(blocks):
+            s = stride if bi == 0 else 1
+            ho, wo = hh // s, ww // s
+            total += conv2d_flops(hh, ww, c_in, mid, 1, 1)      # 1x1 in
+            total += conv2d_flops(ho, wo, mid, mid, 3, 3)       # 3x3 (s)
+            total += conv2d_flops(ho, wo, mid, c_out, 1, 1)     # 1x1 out
+            if bi == 0:
+                total += conv2d_flops(ho, wo, c_in, c_out, 1, 1)  # downsample
+            hh, ww, c_in = ho, wo, c_out
+    return total
+
+
+# ----------------------------------------------------------------- recurrent
+
+def gru_flops(T: int, input_size: int, hidden: int, n_layers: int,
+              bidirectional: bool) -> int:
+    """T timesteps of a stacked (possibly bidirectional) GRU: per step,
+    direction and layer the input and hidden projections each produce the
+    3H gate pre-activations (torch layout, models/layers.gru)."""
+    dirs = 2 if bidirectional else 1
+    total = 0
+    for layer in range(n_layers):
+        in_l = input_size if layer == 0 else hidden * dirs
+        total += dirs * T * (2 * in_l * 3 * hidden
+                             + 2 * hidden * 3 * hidden)
+    return total
+
+
+def encoder_window_flops(seqlen: int, n_layers: int, hidden: int,
+                         input_dim: int = 2048 + 85) -> int:
+    """One TePose TemporalEncoder window (ref: tepose.py:41-76): a forward
+    GRU + a bidirectional GRU over the S-frame window, plus the output
+    linears (H->2048 on the last frame; 2H->2048 on the fused frame)."""
+    return (gru_flops(seqlen, input_dim, hidden, n_layers, False)
+            + gru_flops(seqlen, input_dim, hidden, n_layers, True)
+            + 2 * hidden * 2048
+            + 2 * (2 * hidden) * 2048)
+
+
+def fast_scan_window_flops(seqlen: int = 6, n_layers: int = 2,
+                           hidden: int = 1024) -> int:
+    """One steady-state window of streaming/fast_scan.py with precomputed
+    frame projections: the per-frame layer-0 FEATURE projections are
+    amortized (one new frame per window), so a window pays the theta
+    projections, the recurrent h-projections of every lane/step, the
+    layer-1+ input projections, the output linears and the IEF+SMPL-free
+    head is counted separately by callers. Mirrors fast_encoder.py's lane
+    structure (3 lanes; last layer runs 2 full lanes + 1 single step)."""
+    H3 = 3 * hidden
+    total = 0
+    # one new frame's feature projection, all 3 lanes (amortized precompute)
+    total += 3 * 2 * 2048 * H3
+    # theta projections for all S frames, 3 lanes (recomputed every window:
+    # the feedback channel changes each step)
+    total += seqlen * 3 * 2 * 85 * H3
+    # layer 0: h-projections, 3 lanes, S steps
+    total += seqlen * 3 * 2 * hidden * H3
+    for li in range(1, n_layers):
+        last = li == n_layers - 1
+        # input projections from the (2H-wide) previous-layer sequences
+        lanes_full = 2 if last else 3
+        total += seqlen * lanes_full * 2 * (2 * hidden) * H3
+        total += seqlen * lanes_full * 2 * hidden * H3      # h-projections
+        if last:  # rec-forward lane: a single step (tail truncation)
+            total += 2 * (2 * hidden) * H3 + 2 * hidden * H3
+    # output linears (H->2048 and 2H->2048)
+    total += 2 * hidden * 2048 + 2 * (2 * hidden) * 2048
+    return total
+
+
+# --------------------------------------------------------------- regression
+
+NPOSE = 24 * 6
+
+
+def regressor_ief_flops(n_iter: int = 3) -> int:
+    """SPIN IEF head (models/regressor.py:41-45; ref: spin.py:156-239):
+    per iteration fc1 (2205->1024), fc2 (1024->1024) and the three decoders."""
+    per_iter = (2 * (2048 + NPOSE + 13) * 1024
+                + 2 * 1024 * 1024
+                + 2 * 1024 * (NPOSE + 10 + 3))
+    return n_iter * per_iter
+
+
+def smpl_flops(num_verts: int = 6890, num_joints: int = 24,
+               num_kp: int = 49) -> int:
+    """One SMPL forward (models/smpl.py): shape/pose blendshapes, joint
+    regression, kinematic chain, LBS skinning, keypoint regression."""
+    V, J, K = num_verts, num_joints, num_kp
+    return (2 * V * 3 * 10            # shapedirs
+            + 2 * V * 3 * 207         # posedirs
+            + 2 * J * V * 3           # J_regressor (template joints)
+            + J * (9 * 6 + 50)        # rodrigues + 4x4 chain composition
+            + 2 * V * J * 16          # blend weights x joint transforms
+            + V * 3 * 9               # apply per-vertex transform
+            + 2 * K * V * 3)          # 49-keypoint regression
+
+
+def streaming_flops_per_call(n_streams: int, frames: int, seqlen: int = 6,
+                             n_layers: int = 2, hidden: int = 1024,
+                             num_verts: int = 6890,
+                             crop_hw: int = 224) -> float:
+    """Total FLOPs of one fused crops->features->scan->verts engine call
+    (streaming/engine.py). XLA's cost_analysis counts loop bodies ONCE
+    (scans/lax.map), so whole-program MFU must come from this analytic
+    composition: backbone per crop, encoder+IEF+SMPL per window, plus the
+    (sub-percent) VIBE bootstrap approximated as one extra window pass per
+    stream with per-frame regression."""
+    W = frames - seqlen + 1
+    # the engine runs the projection-reuse fast scan, not the naive window
+    per_window = (fast_scan_window_flops(seqlen, n_layers, hidden)
+                  + regressor_ief_flops() + smpl_flops(num_verts))
+    backbone = n_streams * frames * resnet50_flops(crop_hw, crop_hw)
+    vibe = n_streams * (gru_flops(seqlen, 2048, hidden, n_layers, False)
+                        + seqlen * (regressor_ief_flops()
+                                    + smpl_flops(num_verts)))
+    return float(backbone + n_streams * W * per_window + vibe)
+
+
+def train_iter_flops(batch: int, seqlen: int = 6, n_layers: int = 2,
+                     hidden: int = 1024, regressor_fwd: float = 0.0,
+                     disc_fwd: float = 0.0) -> float:
+    """FLOPs of ONE GAN training iteration (train/trainer.window_step):
+    the batch's encoder windows (analytic — the GRU scan is invisible to
+    XLA's loop-body-once cost model), the train-mode regressor (2 feature
+    rows per sample) and the 3 discriminator passes (gen-adversarial,
+    disc-fake, disc-real) — `regressor_fwd`/`disc_fwd` are XLA-counted at
+    the call site since those graphs are loop-free — all times 3 for the
+    combined backward (bwd ~= 2x fwd)."""
+    fwd = (batch * encoder_window_flops(seqlen, n_layers, hidden)
+           + regressor_fwd + 3 * disc_fwd)
+    return 3.0 * fwd
+
+
+def model_flops_per_frame(seqlen: int = 6, n_layers: int = 2,
+                          hidden: int = 1024,
+                          num_verts: int = 6890) -> Dict[str, float]:
+    """Steady-state streaming cost of ONE output frame on the flagship path
+    (each new frame = one crop through the backbone + one window through
+    encoder + IEF + SMPL; the scan's per-window projections are amortized
+    by the precompute, see streaming/fast_scan.py)."""
+    parts = {
+        "backbone": float(resnet50_flops()),
+        "encoder_window": float(
+            encoder_window_flops(seqlen, n_layers, hidden)),
+        "ief": float(regressor_ief_flops()),
+        "smpl": float(smpl_flops(num_verts)),
+    }
+    parts["total"] = sum(parts.values())
+    return parts

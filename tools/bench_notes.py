@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Measurements behind BENCH_NOTES.md, on the real chip.
+
+Breaks the fused streaming program into its stages and measures each as its
+own device program at identical shapes (the tunnel makes per-op trace
+summaries impractical — program-level attribution is the reliable
+decomposition), plus the GAN train segment at batch 32 vs 64 (the
+throughput-scaling knob VERDICT r2 asked to be measured, not guessed).
+
+  python tools/bench_notes.py [--profile <dir>]
+
+Prints one JSON object; paste the numbers into BENCH_NOTES.md.
+"""
+
+import argparse
+import json
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+from tepose_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def _sync_time(fn, *args, reps=6):
+    out = fn(*args)
+    jax.tree_util.tree_map(lambda x: np.asarray(x[..., :1]), out)  # warmup
+    t0 = time.time()
+    for _ in range(reps):
+        out = fn(*args)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf[..., :1])  # one sync for the async chain
+    return (time.time() - t0) / reps
+
+
+def stage_breakdown(n_streams=8, frames=120):
+    """Device seconds of each stage of the e2e path at bench.py shapes."""
+    from tepose_tpu.models.backbone import resnet50_features, resnet50_init
+    from tepose_tpu.models.smpl import synthetic_smpl_model
+    from tepose_tpu.models.tepose import TePoseConfig, tepose_init
+    from tepose_tpu.streaming.fast_scan import fast_stream_scan
+    from tepose_tpu.utils.packing import FlatPacker, pack_smpl, unpack_smpl
+
+    cfg = TePoseConfig(seqlen=6, n_layers=2, hidden_size=1024)
+    smpl = synthetic_smpl_model(seed=0)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        gen = tepose_init(jax.random.PRNGKey(0), cfg)
+        bb = resnet50_init(jax.random.PRNGKey(2))
+    gpack = FlatPacker((gen, pack_smpl(smpl)))
+    gflats = jax.device_put(gpack.pack((gen, pack_smpl(smpl))))
+    bpack = FlatPacker(bb)
+    bflats = jax.device_put(bpack.pack(bb))
+
+    rng = np.random.RandomState(1)
+    crops = jax.device_put(jnp.asarray(rng.randint(
+        0, 255, (n_streams * frames, 3, 224, 224), np.uint8)))
+    feats = jax.device_put(jnp.asarray(
+        rng.randn(n_streams, frames, 2048).astype(np.float32) * 0.1))
+    pseu = jnp.zeros((n_streams, cfg.seqlen - 1, 85))
+    W = frames - cfg.seqlen + 1
+
+    mean = jnp.asarray([0.485, 0.456, 0.406]).reshape(1, 3, 1, 1)
+    std = jnp.asarray([0.229, 0.224, 0.225]).reshape(1, 3, 1, 1)
+
+    @jax.jit
+    def backbone_only(bflats, crops):
+        params = bpack.unpack(bflats)
+
+        def chunk(c):
+            x = (c.astype(jnp.float32) / 255.0 - mean) / std
+            return resnet50_features(params, x)
+
+        return jax.lax.map(
+            chunk, crops.reshape(n_streams, frames, 3, 224, 224))
+
+    @jax.jit
+    def scan_full(gflats, feats, pseu):
+        gen, smpl_t = gpack.unpack(gflats)
+        model = unpack_smpl(smpl, smpl_t)
+        return fast_stream_scan(gen, model, feats, pseu, cfg, W,
+                                outputs=("theta", "verts", "kp_3d",
+                                         "kp_2d"))["theta"]
+
+    @jax.jit
+    def scan_theta(gflats, feats, pseu):
+        gen, smpl_t = gpack.unpack(gflats)
+        model = unpack_smpl(smpl, smpl_t)
+        return fast_stream_scan(gen, model, feats, pseu, cfg, W,
+                                outputs=("theta",))["theta"]
+
+    return {
+        "backbone_960_crops_s": round(
+            _sync_time(backbone_only, bflats, crops), 4),
+        "scan_full_outputs_s": round(
+            _sync_time(scan_full, gflats, feats, pseu), 4),
+        "scan_theta_only_s": round(
+            _sync_time(scan_theta, gflats, feats, pseu), 4),
+    }
+
+
+def train_batch_scaling():
+    sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+    from bench import measure_training
+    from tepose_tpu.train.trainer import TrainHyper
+
+    b32 = measure_training(num_iters=60)
+    b64 = measure_training(num_iters=60,
+                           hp=TrainHyper(n_2d=38, n_3d=26))
+    return {
+        "batch32": {k: round(v, 4) for k, v in b32.items()},
+        "batch64": {k: round(v, 4) for k, v in b64.items()},
+        "note": "windows/s counts ITERATIONS; batch 64 does 2x the windows "
+                "per iteration, so samples/s scaling = 2 * wps64 / wps32",
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--profile", default="")
+    args = ap.parse_args()
+
+    import contextlib
+
+    from tepose_tpu.utils.profiling import trace
+
+    ctx = trace(args.profile) if args.profile else contextlib.nullcontext()
+    with ctx:
+        stages = stage_breakdown()
+        scaling = train_batch_scaling()
+    print(json.dumps({"stage_breakdown": stages,
+                      "train_batch_scaling": scaling}, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -53,6 +53,11 @@ def main() -> None:
     ap.add_argument("--batches", type=int, nargs="+", default=[8, 32, 64])
     ap.add_argument("--bucket_sizes", type=int, nargs="+",
                     default=[128, 256])
+    ap.add_argument("--out", default="",
+                    help="merge results for this dataset into a committed "
+                         "JSON artifact (e.g. tools/eval_batching_sweep"
+                         ".json) so evaluate.py's defaults cite a file, "
+                         "not a comment")
     args = ap.parse_args()
 
     from tepose_tpu.eval.evaluator import make_packed_eval_scan
@@ -134,6 +139,16 @@ def main() -> None:
                   f"{len(fns)} programs)", flush=True)
 
     print(json.dumps({"dataset": args.dataset, "results": results}))
+    if args.out:
+        merged = {}
+        if osp.isfile(args.out):
+            with open(args.out) as f:
+                merged = json.load(f)
+        device = jax.devices()[0].device_kind
+        merged[args.dataset] = {"device": device, "results": results}
+        with open(args.out, "w") as f:
+            json.dump(merged, f, indent=1, sort_keys=True)
+        print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":
