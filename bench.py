@@ -164,8 +164,11 @@ def measure_end_to_end(cfg, smpl, params, n_streams=8, frames=120):
         backbone = resnet50_init(jax.random.PRNGKey(2))
 
     def make_engine(**kw):
+        # crop_batch=16: measured chunk-size optimum for the lax.map'd
+        # ResNet-50 (engine.__init__ / BENCH_NOTES.md) — small chunks keep
+        # conv activations VMEM-resident, +27% over chunk 120
         return StreamingEngine(smpl, params, vibe_params, backbone, cfg,
-                               vcfg, crop_batch=frames,
+                               vcfg, crop_batch=16,
                                window_bucket=frames, **kw)
 
     engine = make_engine()

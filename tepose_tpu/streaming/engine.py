@@ -78,13 +78,19 @@ class StreamingEngine:
 
     def __init__(self, smpl: SmplModel, tepose_params, vibe_params,
                  backbone_params, model_cfg: TePoseConfig,
-                 vibe_cfg: VibeConfig, crop_batch: int = 32,
+                 vibe_cfg: VibeConfig, crop_batch: int = 16,
                  window_bucket: int = 64, max_frames_per_call: int = 4096,
                  backbone_dtype=None, mesh=None,
                  outputs=ENGINE_OUTPUTS, output_dtype=None):
         self.smpl = smpl
         self.model_cfg = model_cfg
         self.vibe_cfg = vibe_cfg
+        # crops per lax.map step of the chunked ResNet-50. Measured on v5e
+        # (tools/bench_notes.py backbone_chunk_sweep, 960x224x224 crops):
+        # 16 -> 9.2k crops/s, 32 -> 8.1k, 120 -> 7.2k, 480 -> 6.5k —
+        # SMALL chunks win because the early-stage conv activations
+        # (112x112x64 etc.) stay VMEM-resident between fused layers instead
+        # of round-tripping HBM; below 16 the MXU starves (8 -> 6.9k).
         self.crop_batch = crop_batch
         self.window_bucket = window_bucket
         # bounds one transfer to ~600 MB of u8 crops at the default batch
@@ -308,11 +314,28 @@ class StreamingEngine:
 
         results: List[Optional[Dict[str, np.ndarray]]] = \
             [None] * len(crops_list)
+        # depth-2 bucket pipeline: dispatch bucket N+1 (host packing +
+        # upload, both host/link work) before draining bucket N's readback,
+        # so the device computes while the host prepares the next bucket.
+        # jit dispatch is async, so `out` below is a future; only the
+        # np.asarray drain blocks. Depth 2 bounds live HBM to two buckets.
+        pending = None  # (idxs, out-dict of device arrays)
+
+        def drain(p):
+            idxs_p, out_p = p
+            host = {k: np.asarray(v) for k, v in out_p.items()}
+            for b, i in enumerate(idxs_p):
+                T = len(crops_list[i])
+                results[i] = {k: v[b, :T] for k, v in host.items()}
+
         for T_pad, idxs in buckets.items():
             B_pad = self._pad_batch(len(idxs))
             if B_pad * T_pad > self.max_frames_per_call:
                 # long-video guard: the fused buffer would be unbounded;
                 # extract features in bounded super-chunks instead
+                if pending is not None:
+                    drain(pending)
+                    pending = None
                 feats = self.extract_features_multi(
                     [crops_list[i] for i in idxs])
                 sub = self._run_tracklets(
@@ -334,10 +357,12 @@ class StreamingEngine:
             with self.timers.stage("fused"):
                 out = fn(self._bb_flats, self._gen_flats,
                          self._put_batch(crops), self._put_batch(pseu))
-                host = {k: np.asarray(v) for k, v in out.items()}
-            for b, i in enumerate(idxs):
-                T = len(crops_list[i])
-                results[i] = {k: v[b, :T] for k, v in host.items()}
+            if pending is not None:
+                drain(pending)
+            pending = (idxs, out)
+        if pending is not None:
+            with self.timers.stage("fused"):
+                drain(pending)
         return results
 
     def _get_fused_fn(self, key):
@@ -433,6 +458,19 @@ class StreamingEngine:
                                []).append(i)
 
         results: List[Optional[Dict[str, np.ndarray]]] =             [None] * len(features_list)
+        # depth-2 bucket pipeline (see run_tracklets_from_crops): dispatch
+        # the next bucket before draining the previous one's readback
+        pending = None
+
+        def drain(p):
+            idxs_p, out_p = p
+            # ONE bulk readback per output key (the link charges per call:
+            # per-tracklet sliced reads would cost B x len(out) round trips)
+            host = {k: np.asarray(v) for k, v in out_p.items()}
+            for b, i in enumerate(idxs_p):
+                T = len(features_list[i])
+                results[i] = {k: v[b, :T] for k, v in host.items()}
+
         for T_pad, idxs in buckets.items():
             B = len(idxs)
             # pad the batch axis to a power of two: bounds the number of
@@ -450,10 +488,9 @@ class StreamingEngine:
             fn = self._get_stream_fn((T_pad, B_pad))
             out = fn(self._gen_flats, self._put_batch(feats),
                      self._put_batch(pseu))
-            # ONE bulk readback per output key (the link charges per call:
-            # per-tracklet sliced reads would cost B x len(out) round trips)
-            host = {k: np.asarray(v) for k, v in out.items()}
-            for b, i in enumerate(idxs):
-                T = len(features_list[i])
-                results[i] = {k: v[b, :T] for k, v in host.items()}
+            if pending is not None:
+                drain(pending)
+            pending = (idxs, out)
+        if pending is not None:
+            drain(pending)
         return results

@@ -87,6 +87,27 @@ def test_run_tracklets_from_crops_matches_two_stage(rng):
                                        atol=1e-4, err_msg=f"{i}/{k}")
 
 
+def test_bucket_pipeline_multi_bucket_with_fallback(rng):
+    """The depth-2 bucket pipeline (dispatch N+1 before draining N) must
+    keep results aligned across several length buckets, including a bucket
+    that takes the long-video two-stage fallback mid-stream."""
+    eng = _engine()
+    eng.max_frames_per_call = 40  # 48-padded bucket falls back to two-stage
+    c_short1 = (rng.rand(8, 3, 64, 64) * 255).astype(np.uint8)    # bucket 16
+    c_long = (rng.rand(44, 3, 64, 64) * 255).astype(np.uint8)     # fallback
+    c_mid = (rng.rand(20, 3, 64, 64) * 255).astype(np.uint8)      # bucket 32
+    c_short2 = (rng.rand(12, 3, 64, 64) * 255).astype(np.uint8)   # bucket 16
+
+    outs = eng.run_tracklets_from_crops([c_short1, c_long, c_mid, c_short2])
+    assert [o["theta"].shape[0] for o in outs] == [8, 44, 20, 12]
+
+    for i, c in enumerate([c_short1, c_long, c_mid, c_short2]):
+        lone = eng.run_tracklets_from_crops([c])[0]
+        for k in ("theta", "verts"):
+            np.testing.assert_allclose(outs[i][k], lone[k], atol=1e-4,
+                                       err_msg=f"tracklet {i}/{k}")
+
+
 def test_mesh_sharded_streaming_matches_single(rng):
     """Multi-chip serving: an engine built over the 8-device CPU mesh must
     reproduce the single-device outputs exactly (streams are independent —

@@ -71,6 +71,8 @@ def stage_breakdown(n_streams=8, frames=120):
     mean = jnp.asarray([0.485, 0.456, 0.406]).reshape(1, 3, 1, 1)
     std = jnp.asarray([0.229, 0.224, 0.225]).reshape(1, 3, 1, 1)
 
+    cb = 16  # the engine's measured chunk-size optimum (backbone_chunk_sweep)
+
     @jax.jit
     def backbone_only(bflats, crops):
         params = bpack.unpack(bflats)
@@ -80,7 +82,7 @@ def stage_breakdown(n_streams=8, frames=120):
             return resnet50_features(params, x)
 
         return jax.lax.map(
-            chunk, crops.reshape(n_streams, frames, 3, 224, 224))
+            chunk, crops.reshape(-1, cb, 3, 224, 224))
 
     @jax.jit
     def scan_full(gflats, feats, pseu):
@@ -105,6 +107,55 @@ def stage_breakdown(n_streams=8, frames=120):
         "scan_theta_only_s": round(
             _sync_time(scan_theta, gflats, feats, pseu), 4),
     }
+
+
+def backbone_chunk_sweep(chunks=(8, 16, 32, 120, 480), n_crops=960):
+    """Crops/sec of the chunked ResNet-50 vs lax.map chunk size, interleaved
+    trials (drift-proof). Source of the engine's crop_batch=16 default:
+    small chunks keep early-stage conv activations VMEM-resident between
+    fused layers; below ~16 the MXU starves on tiny batches."""
+    from tepose_tpu.models.backbone import resnet50_features, resnet50_init
+    from tepose_tpu.utils.packing import FlatPacker
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        bb = resnet50_init(jax.random.PRNGKey(2))
+    pack = FlatPacker(bb)
+    flats = jax.device_put(pack.pack(bb))
+    rng = np.random.RandomState(1)
+    crops = jax.device_put(jnp.asarray(
+        rng.randint(0, 255, (n_crops, 3, 224, 224), np.uint8)))
+    mean = jnp.asarray([0.485, 0.456, 0.406]).reshape(1, 3, 1, 1)
+    std = jnp.asarray([0.229, 0.224, 0.225]).reshape(1, 3, 1, 1)
+
+    def make(chunk):
+        n = n_crops // chunk
+
+        @jax.jit
+        def run(flats, crops):
+            params = pack.unpack(flats)
+
+            def f(c):
+                x = (c.astype(jnp.float32) / 255.0 - mean) / std
+                return resnet50_features(params, x)
+
+            return jax.lax.map(
+                f, crops.reshape((n, chunk, 3, 224, 224)))
+
+        return run
+
+    fns = {c: make(c) for c in chunks if n_crops % c == 0}
+    for fn in fns.values():
+        np.asarray(fn(flats, crops)[..., :1])  # compile
+    best = {c: float("inf") for c in fns}
+    for _ in range(3):
+        for c, fn in fns.items():
+            t0 = time.time()
+            for _ in range(4):
+                out = fn(flats, crops)
+            np.asarray(out[..., :1])
+            best[c] = min(best[c], (time.time() - t0) / 4)
+    return {f"chunk{c}": round(n_crops / t, 1) for c, t in best.items()}
 
 
 def train_batch_scaling():
@@ -135,8 +186,10 @@ def main():
     ctx = trace(args.profile) if args.profile else contextlib.nullcontext()
     with ctx:
         stages = stage_breakdown()
+        chunk_sweep = backbone_chunk_sweep()
         scaling = train_batch_scaling()
     print(json.dumps({"stage_breakdown": stages,
+                      "backbone_chunk_sweep_crops_per_s": chunk_sweep,
                       "train_batch_scaling": scaling}, indent=1))
 
 
