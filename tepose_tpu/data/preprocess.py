@@ -23,8 +23,15 @@ class FeatureExtractor:
     """Batched crop -> ResNet-50 feature pipeline with device-resident
     weights (one packed buffer; see utils.packing)."""
 
-    def __init__(self, backbone_params: Dict, batch_size: int = 32,
-                 crop_size: int = 224):
+    def __init__(self, backbone_params: Dict, batch_size: int = 256,
+                 crop_size: int = 224, conv_chunk: int = 16):
+        # batch_size = crops per DEVICE CALL (big: the link charges per
+        # call); conv_chunk = crops per lax.map step INSIDE the call (small:
+        # 16 is the measured v5e conv optimum — see
+        # streaming/engine.StreamingEngine.crop_batch). When batch_size
+        # isn't a multiple of conv_chunk, the call runs as one chunk.
+        if conv_chunk > batch_size or batch_size % conv_chunk:
+            conv_chunk = batch_size
         self.batch_size = batch_size
         self.crop_size = crop_size
         self._packer = FlatPacker(backbone_params)
@@ -32,16 +39,24 @@ class FeatureExtractor:
             jax.device_put(jnp.asarray(f))
             for f in self._packer.pack_np(backbone_params))
         packer = self._packer
+        n_chunks = batch_size // conv_chunk
 
         @jax.jit
         def fn(flats, crops):
-            if crops.dtype == jnp.uint8:  # on-device ImageNet normalisation
-                mean = jnp.asarray([0.485, 0.456, 0.406],
-                                   jnp.float32).reshape(1, 3, 1, 1)
-                std = jnp.asarray([0.229, 0.224, 0.225],
-                                  jnp.float32).reshape(1, 3, 1, 1)
-                crops = (crops.astype(jnp.float32) / 255.0 - mean) / std
-            return resnet50_features(packer.unpack(flats), crops)
+            params = packer.unpack(flats)
+
+            def one(c):
+                if c.dtype == jnp.uint8:  # on-device ImageNet normalisation
+                    mean = jnp.asarray([0.485, 0.456, 0.406],
+                                       jnp.float32).reshape(1, 3, 1, 1)
+                    std = jnp.asarray([0.229, 0.224, 0.225],
+                                      jnp.float32).reshape(1, 3, 1, 1)
+                    c = (c.astype(jnp.float32) / 255.0 - mean) / std
+                return resnet50_features(params, c)
+
+            out = jax.lax.map(
+                one, crops.reshape((n_chunks, conv_chunk) + crops.shape[1:]))
+            return out.reshape(batch_size, 2048)
 
         self._fn = fn
 

@@ -78,26 +78,33 @@ class StreamingEngine:
 
     def __init__(self, smpl: SmplModel, tepose_params, vibe_params,
                  backbone_params, model_cfg: TePoseConfig,
-                 vibe_cfg: VibeConfig, crop_batch: int = 16,
+                 vibe_cfg: VibeConfig, crop_batch: Optional[int] = None,
                  window_bucket: int = 64, max_frames_per_call: int = 4096,
                  backbone_dtype=None, mesh=None,
                  outputs=ENGINE_OUTPUTS, output_dtype=None):
         self.smpl = smpl
         self.model_cfg = model_cfg
         self.vibe_cfg = vibe_cfg
-        # crops per lax.map step of the chunked ResNet-50. Measured on v5e
-        # (tools/bench_notes.py backbone_chunk_sweep, 960x224x224 crops):
-        # 16 -> 9.2k crops/s, 32 -> 8.1k, 120 -> 7.2k, 480 -> 6.5k —
-        # SMALL chunks win because the early-stage conv activations
-        # (112x112x64 etc.) stay VMEM-resident between fused layers instead
-        # of round-tripping HBM; below 16 the MXU starves (8 -> 6.9k).
+        # crops per lax.map step of the chunked ResNet-50; the optimum is
+        # DTYPE-DEPENDENT (measured on v5e, tools/bench_notes.py
+        # backbone_chunk_sweep + fused-program timings):
+        #   f32:  16 is best (9.2k crops/s vs 8.1k at 32, 7.2k at 120) —
+        #         small chunks keep early-stage conv activations
+        #         (112x112x64 etc.) VMEM-resident between fused layers;
+        #         below 16 the MXU starves (8 -> 6.9k);
+        #   bf16: halved activation bytes fit VMEM at larger batches, so
+        #         the optimum shifts to ~128 (fused 8.3k fps vs 7.5k at 16).
+        # With f32 properly chunked, bf16's fused-path edge is ~1.11x (the
+        # older "1.43x" was measured against a VMEM-thrashing f32 chunk).
+        if crop_batch is None:
+            crop_batch = 16 if backbone_dtype is None else 128
         self.crop_batch = crop_batch
         self.window_bucket = window_bucket
         # bounds one transfer to ~600 MB of u8 crops at the default batch
         self.max_frames_per_call = max_frames_per_call
         # None = f32 (strict parity). jnp.bfloat16 runs the ResNet-50 in
-        # bf16 (measured 1.43x on v5e, ~0.13% relative feature error) —
-        # the live-demo speed knob; eval paths should stay f32.
+        # bf16 (~1.11x fused at its own chunk optimum, ~0.13% relative
+        # feature error) — the live-demo speed knob; eval paths stay f32.
         self.backbone_dtype = backbone_dtype
         # readback-traffic knobs (VERDICT r2: the link is the measured e2e
         # bottleneck; verts are 83 KB/frame in f32):
