@@ -29,9 +29,12 @@ class FeatureExtractor:
         # call); conv_chunk = crops per lax.map step INSIDE the call (small:
         # 16 is the measured v5e conv optimum — see
         # streaming/engine.StreamingEngine.crop_batch). When batch_size
-        # isn't a multiple of conv_chunk, the call runs as one chunk.
-        if conv_chunk > batch_size or batch_size % conv_chunk:
-            conv_chunk = batch_size
+        # isn't a multiple of conv_chunk, use the largest divisor of
+        # batch_size <= conv_chunk (falling back to one big chunk would be
+        # the measured worst case — VMEM-thrashing conv activations).
+        conv_chunk = min(conv_chunk, batch_size)
+        while batch_size % conv_chunk:
+            conv_chunk -= 1
         self.batch_size = batch_size
         self.crop_size = crop_size
         self._packer = FlatPacker(backbone_params)

@@ -364,8 +364,10 @@ class StreamingEngine:
             with self.timers.stage("fused"):
                 out = fn(self._bb_flats, self._gen_flats,
                          self._put_batch(crops), self._put_batch(pseu))
-            if pending is not None:
-                drain(pending)
+                if pending is not None:
+                    # drain inside the stage: the blocking readback is the
+                    # dominant cost and must show up in the timings
+                    drain(pending)
             pending = (idxs, out)
         if pending is not None:
             with self.timers.stage("fused"):

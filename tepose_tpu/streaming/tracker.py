@@ -217,10 +217,16 @@ def estimate_camera_motion(frames: List[np.ndarray],
     eye3 = np.eye(3, dtype=np.float64)
     cum = [eye3]
     steps = []
+    # on estimation failure (blurry/textureless pair: too few features, LK
+    # loss, or RANSAC degenerate) reuse the PREVIOUS step — a
+    # constant-velocity assumption. An identity step during a pan would
+    # permanently misregister every later frame against the background
+    # canvas; carrying the motion degrades gracefully instead.
+    last_step = np.eye(2, 3, dtype=np.float64)
     prev = small_gray(frames[0])
     for t in range(1, len(frames)):
         cur = small_gray(frames[t])
-        step = np.eye(2, 3, dtype=np.float64)
+        step = None
         pts = cv2.goodFeaturesToTrack(prev, 300, 0.01, 7)
         if pts is not None and len(pts) >= 8:
             nxt, st, _ = cv2.calcOpticalFlowPyrLK(prev, cur, pts, None)
@@ -231,6 +237,9 @@ def estimate_camera_motion(frames: List[np.ndarray],
                 M, _ = cv2.estimateAffinePartial2D(nxt[ok], pts[ok])
                 if M is not None:
                     step = M
+        if step is None:
+            step = last_step
+        last_step = step
         steps.append(float(np.hypot(step[0, 2], step[1, 2])))
         m3 = np.vstack([step, [0, 0, 1]])
         cum.append(cum[-1] @ m3)
@@ -247,18 +256,22 @@ def detect_people_stabilized(
     work_width: int = 320,
     iou_thresh: float = 0.2,
     max_missed: int = 15,
+    max_canvas_frames: float = 16.0,
 ) -> Dict[int, Dict]:
     """Moving-camera person detection: global-motion-compensated background
     subtraction.
 
     The plain motion detector's median background is only valid for a
     static camera (its own docstring says so); under a pan the whole frame
-    becomes "foreground". Here every frame is first warped into frame 0's
-    coordinate system using `estimate_camera_motion`, the median background
-    and the per-frame diffs are computed on a world canvas large enough to
-    hold the whole sweep (with validity masks so off-canvas pixels never
-    vote), and detected boxes are mapped back through each frame's inverse
-    transform. Replaces the appearance half of the reference's yolov3 path
+    becomes "foreground". Here frames are warped into a shared coordinate
+    system using `estimate_camera_motion`, and the median background and
+    per-frame diffs are computed on a world canvas (with validity masks so
+    off-canvas pixels never vote); detected boxes are mapped back through
+    each frame's inverse transform. Long pans sweep an unbounded world
+    area, so the clip is partitioned into re-anchored segments whose
+    canvases each stay under a memory cap (one IoU tracker spans the
+    segments, keeping tracklets continuous across the cuts). Replaces the
+    appearance half of the reference's yolov3 path
     (ref: demo.py:87-100) without any pretrained weights — the baked-in
     OpenCV 5 dropped HOGDescriptor, so compensation, not appearance, is the
     in-repo answer for handheld footage.
@@ -276,75 +289,110 @@ def detect_people_stabilized(
         return cv2.resize(g, wh, interpolation=cv2.INTER_AREA)
 
     transforms, _ = estimate_camera_motion(frames, work_width)
-
-    # world canvas bounds: frame corners through every cumulative transform
     corners = np.array([[0, 0], [wh[0], 0], [0, wh[1]], [wh[0], wh[1]]],
                        np.float32)
-    pts = np.concatenate([
-        corners @ M[:, :2].T + M[:, 2] for M in transforms])
-    x0, y0 = np.floor(pts.min(axis=0)).astype(int)
-    x1, y1 = np.ceil(pts.max(axis=0)).astype(int)
-    cw, ch = int(x1 - x0), int(y1 - y0)
-    if cw * ch > 16 * wh[0] * wh[1]:
-        # runaway motion estimate (degenerate tracking): bail out to the
-        # static-camera detector rather than allocating a huge canvas
-        return detect_people_motion(frames, min_area_frac, max_people,
-                                    bg_samples, work_width, iou_thresh,
-                                    max_missed)
-    offset = np.array([[0, 0, -x0], [0, 0, -y0]], np.float32)
+    canvas_cap = max_canvas_frames * wh[0] * wh[1]
 
-    def warp(t):
-        M = transforms[t] + offset
-        g = cv2.warpAffine(small_gray(frames[t]), M, (cw, ch),
-                           flags=cv2.INTER_LINEAR,
-                           borderMode=cv2.BORDER_CONSTANT, borderValue=0)
-        v = cv2.warpAffine(np.full(wh[::-1], 255, np.uint8), M, (cw, ch),
-                           flags=cv2.INTER_NEAREST,
-                           borderMode=cv2.BORDER_CONSTANT, borderValue=0)
-        return g.astype(np.float32), v > 0
+    def canvas_bounds(Ms):
+        pts = np.concatenate([corners @ M[:, :2].T + M[:, 2] for M in Ms])
+        x0, y0 = np.floor(pts.min(axis=0)).astype(int)
+        x1, y1 = np.ceil(pts.max(axis=0)).astype(int)
+        return int(x0), int(y0), int(x1 - x0), int(y1 - y0)
 
-    idxs = np.linspace(0, len(frames) - 1,
-                       min(bg_samples, len(frames))).astype(int)
-    samples = [warp(i) for i in idxs]
-    stack = np.stack([g for g, _ in samples])
-    valid = np.stack([v for _, v in samples])
-    stack[~valid] = np.nan
-    count = valid.sum(axis=0)
-    import warnings
+    # Long legitimate pans sweep an unbounded world area, so one global
+    # canvas cannot cap memory. Partition the clip into SEGMENTS, each
+    # re-anchored to its own first frame, greedily extended while the
+    # segment's canvas stays under the cap; each segment gets its own
+    # background model, while ONE IoUTracker spans all segments so
+    # tracklets stay continuous across the cuts.
+    def reanchor(t0, t1):
+        inv0 = np.linalg.inv(np.vstack([transforms[t0], [0, 0, 1]]))
+        return [(inv0 @ np.vstack([transforms[t], [0, 0, 1]]))[:2]
+                .astype(np.float32) for t in range(t0, t1)]
 
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN columns
-        bg = np.nanmedian(stack, axis=0)
-    bg_ok = count >= max(3, len(samples) // 4)
+    segments = []  # (t0, t1, seg_transforms, offset, (cw, ch))
+    t0 = 0
+    while t0 < len(frames):
+        t1 = min(t0 + 2, len(frames))
+        seg = reanchor(t0, t1)
+        x0, y0, cw, ch = canvas_bounds(seg)
+        if cw * ch > canvas_cap:
+            # runaway motion estimate (degenerate tracking): even a
+            # two-frame canvas blows the cap — bail out to the
+            # static-camera detector rather than allocating a huge canvas
+            return detect_people_motion(frames, min_area_frac, max_people,
+                                        bg_samples, work_width, iou_thresh,
+                                        max_missed)
+        while t1 < len(frames):
+            nxt = reanchor(t0, t1 + 1)
+            nx0, ny0, ncw, nch = canvas_bounds(nxt)
+            if ncw * nch > canvas_cap:
+                break
+            seg, (x0, y0, cw, ch), t1 = nxt, (nx0, ny0, ncw, nch), t1 + 1
+        offset = np.array([[0, 0, -x0], [0, 0, -y0]], np.float32)
+        segments.append((t0, t1, seg, offset, (cw, ch)))
+        t0 = t1
 
     kernel = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (7, 7))
     min_area = min_area_frac * wh[0] * wh[1]
     tracker = IoUTracker(iou_thresh=iou_thresh, max_missed=max_missed)
+    import warnings
 
-    for f in range(len(frames)):
-        g, v = warp(f)
-        ok = v & bg_ok
-        diff = np.where(ok, np.abs(g - bg), 0.0).astype(np.float32)
-        vals = diff[ok]
-        if vals.size == 0:
-            tracker.update(f, np.zeros((0, 4), np.float32))
-            continue
-        thr = max(18.0, float(vals.mean() + 2.5 * vals.std()))
-        mask = ((diff > thr) & ok).astype(np.uint8) * 255
-        boxes = _boxes_from_mask(mask, 1.0, min_area, kernel, max_people)
-        if len(boxes):
-            # world -> frame-t work coords -> full resolution
-            inv = cv2.invertAffineTransform(transforms[f] + offset)
-            ctr = boxes[:, :2] @ inv[:, :2].T + inv[:, 2]
-            s = float(np.sqrt(abs(np.linalg.det(inv[:, :2]))))
-            boxes = np.stack([ctr[:, 0] / scale, ctr[:, 1] / scale,
-                              boxes[:, 2] * s / scale,
-                              boxes[:, 3] * s / scale], axis=1)
-            # drop boxes that left the actual frame
-            inside = ((boxes[:, 0] > -boxes[:, 2]) & (boxes[:, 0] < w + boxes[:, 2])
-                      & (boxes[:, 1] > -boxes[:, 3]) & (boxes[:, 1] < h + boxes[:, 3]))
-            boxes = boxes[inside].astype(np.float32)
-        tracker.update(f, boxes)
+    for t0, t1, seg, offset, (cw, ch) in segments:
+        warped = {}  # frame warps are reused between bg model and the scan
+
+        def warp(t):
+            if t in warped:
+                return warped[t]
+            M = seg[t - t0] + offset
+            g = cv2.warpAffine(small_gray(frames[t]), M, (cw, ch),
+                               flags=cv2.INTER_LINEAR,
+                               borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+            v = cv2.warpAffine(np.full(wh[::-1], 255, np.uint8), M, (cw, ch),
+                               flags=cv2.INTER_NEAREST,
+                               borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+            warped[t] = (g.astype(np.float32), v > 0)
+            return warped[t]
+
+        idxs = t0 + np.linspace(0, t1 - t0 - 1,
+                                min(bg_samples, t1 - t0)).astype(int)
+        samples = [warp(i) for i in idxs]
+        stack = np.stack([g for g, _ in samples])
+        valid = np.stack([v for _, v in samples])
+        stack[~valid] = np.nan
+        count = valid.sum(axis=0)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN cols
+            bg = np.nanmedian(stack, axis=0)
+        bg_ok = count >= max(3, len(samples) // 4)
+
+        for f in range(t0, t1):
+            g, v = warp(f)
+            ok = v & bg_ok
+            diff = np.where(ok, np.abs(g - bg), 0.0).astype(np.float32)
+            vals = diff[ok]
+            if vals.size == 0:
+                tracker.update(f, np.zeros((0, 4), np.float32))
+                continue
+            thr = max(18.0, float(vals.mean() + 2.5 * vals.std()))
+            mask = ((diff > thr) & ok).astype(np.uint8) * 255
+            boxes = _boxes_from_mask(mask, 1.0, min_area, kernel,
+                                     max_people)
+            if len(boxes):
+                # world -> frame-f work coords -> full resolution
+                inv = cv2.invertAffineTransform(seg[f - t0] + offset)
+                ctr = boxes[:, :2] @ inv[:, :2].T + inv[:, 2]
+                s = float(np.sqrt(abs(np.linalg.det(inv[:, :2]))))
+                boxes = np.stack([ctr[:, 0] / scale, ctr[:, 1] / scale,
+                                  boxes[:, 2] * s / scale,
+                                  boxes[:, 3] * s / scale], axis=1)
+                # drop boxes that left the actual frame
+                inside = ((boxes[:, 0] > -boxes[:, 2])
+                          & (boxes[:, 0] < w + boxes[:, 2])
+                          & (boxes[:, 1] > -boxes[:, 3])
+                          & (boxes[:, 1] < h + boxes[:, 3]))
+                boxes = boxes[inside].astype(np.float32)
+            tracker.update(f, boxes)
 
     return tracker.tracklets()
 
@@ -356,21 +404,27 @@ def detect_people_auto(frames: List[np.ndarray],
     """Pick the right built-in detector for the footage (the demo default).
 
     A cheap probe estimates the camera's per-frame translation on up to
-    `probe_frames` evenly-spaced frames; if the median exceeds
-    `pan_thresh_px` (work-scale pixels/frame) the footage is treated as
-    moving-camera and routed to `detect_people_stabilized`, else to the
-    cheaper `detect_people_motion`. Mirrors VERDICT r2 ask #1 (auto
-    detector selection by a global-motion estimate).
+    `probe_frames` CONSECUTIVE frame pairs scattered evenly through the
+    clip; if the median exceeds `pan_thresh_px` (work-scale pixels/frame)
+    the footage is treated as moving-camera and routed to
+    `detect_people_stabilized`, else to the cheaper
+    `detect_people_motion`. Consecutive pairs matter: estimating flow
+    between frames many steps apart fails silently on long clips (the
+    displacement exceeds what pyramidal LK can track) and under-reports
+    motion, which would route pans to the static-camera detector. Mirrors
+    VERDICT r2 ask #1 (auto detector selection by a global-motion
+    estimate).
     """
     if len(frames) < 2:
         return {}
-    idxs = np.linspace(0, len(frames) - 1,
-                       min(probe_frames, len(frames))).astype(int)
-    _, steps = estimate_camera_motion([frames[i] for i in idxs],
-                                      kw.get("work_width", 320))
-    # probe pairs span several real frames; normalise to per-frame motion
-    gaps = np.maximum(np.diff(idxs), 1)
-    per_frame = steps / gaps[:len(steps)]
+    starts = np.unique(np.linspace(
+        0, len(frames) - 2, min(probe_frames, len(frames) - 1)).astype(int))
+    per_frame = []
+    for i in starts:
+        _, step = estimate_camera_motion([frames[i], frames[i + 1]],
+                                         kw.get("work_width", 320))
+        if len(step):
+            per_frame.append(float(step[0]))
     moving = (len(per_frame) > 0
               and float(np.median(per_frame)) > pan_thresh_px)
     det = detect_people_stabilized if moving else detect_people_motion

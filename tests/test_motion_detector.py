@@ -156,6 +156,59 @@ def test_auto_detector_picks_by_camera_motion():
         [len(v["frames"]) for v in tracklets.values()]
 
 
+def test_auto_detector_routes_long_panning_clip(monkeypatch):
+    """Review regression: on a LONG clip the old probe estimated flow
+    between frames len/24 apart — a displacement pyramidal LK can't track —
+    so failed estimates read as zero motion and pans were mis-routed to the
+    static-camera detector. The probe must use consecutive frame pairs."""
+    from tepose_tpu.streaming import tracker as TRK
+
+    frames, _ = _panning_two_person_frames(n_frames=360)
+    chosen = []
+    monkeypatch.setattr(
+        TRK, "detect_people_stabilized",
+        lambda fr, **kw: chosen.append("stabilized") or {})
+    monkeypatch.setattr(
+        TRK, "detect_people_motion",
+        lambda fr, **kw: chosen.append("motion") or {})
+    TRK.detect_people_auto(frames)
+    assert chosen == ["stabilized"], chosen
+
+    # and a long static clip still routes to the cheap detector
+    chosen.clear()
+    TRK.detect_people_auto(_two_person_frames(n_frames=360))
+    assert chosen == ["motion"], chosen
+
+
+def test_stabilized_detector_segments_long_pan():
+    """Review regression: a long legitimate pan sweeps an unbounded world
+    area; the detector must partition into re-anchored canvas segments (not
+    silently fall back to the static-camera detector) and keep tracklets
+    continuous across the cuts. A tiny canvas cap forces several segments
+    on the standard clip."""
+    from tepose_tpu.streaming.tracker import detect_people_stabilized
+
+    frames, truths = _panning_two_person_frames()
+    tracklets = detect_people_stabilized(frames, max_canvas_frames=2.0)
+    long_tracks = sorted(
+        (v for v in tracklets.values() if len(v["frames"]) >= 25),
+        key=lambda v: -len(v["frames"]))[:2]
+    assert len(long_tracks) == 2, \
+        [len(v["frames"]) for v in tracklets.values()]
+    matched = set()
+    for tr in long_tracks:
+        errs = []
+        for pi in range(2):
+            d = [np.hypot(tr["bbox"][k, 0] - truths[f][pi][0],
+                          tr["bbox"][k, 1] - truths[f][pi][1])
+                 for k, f in enumerate(tr["frames"])]
+            errs.append(np.median(d))
+        pi = int(np.argmin(errs))
+        assert errs[pi] < 30, errs
+        matched.add(pi)
+    assert matched == {0, 1}
+
+
 def test_estimate_camera_motion_recovers_pan():
     from tepose_tpu.streaming.tracker import estimate_camera_motion
 

@@ -166,9 +166,10 @@ def train_batch_scaling():
     b32 = measure_training(num_iters=60)
     b64 = measure_training(num_iters=60,
                            hp=TrainHyper(n_2d=38, n_3d=26))
+    rnd = lambda v: round(v, 4) if v is not None else None  # noqa: E731
     return {
-        "batch32": {k: round(v, 4) for k, v in b32.items()},
-        "batch64": {k: round(v, 4) for k, v in b64.items()},
+        "batch32": {k: rnd(v) for k, v in b32.items()},
+        "batch64": {k: rnd(v) for k, v in b64.items()},
         "note": "windows/s counts ITERATIONS; batch 64 does 2x the windows "
                 "per iteration, so samples/s scaling = 2 * wps64 / wps32",
     }
