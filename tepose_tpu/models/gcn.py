@@ -63,13 +63,19 @@ def bn_apply(params: Params, state: State, x: jnp.ndarray, channel_axis: int,
     shape = [1] * x.ndim
     shape[channel_axis] = x.shape[channel_axis]
 
+    # statistics always in f32: under bf16 compute (TrainHyper.compute_dtype)
+    # element counts like batch*T*V = 4608 aren't even representable in
+    # bf16, and variances accumulate rounding; the normalisation itself is
+    # cheap next to the convs, so only the OUTPUT drops to compute dtype.
+    xf = x.astype(jnp.float32)
     if train and row_mask is not None:
-        m = row_mask.astype(x.dtype).reshape(
+        m = row_mask.astype(jnp.float32).reshape(
             (-1,) + (1,) * (x.ndim - 1))
         per_row_elems = x.size / (x.shape[0] * x.shape[channel_axis])
-        n = jnp.maximum(row_mask.astype(x.dtype).sum() * per_row_elems, 1.0)
-        mean = (x * m).sum(axis=axes) / n
-        var = (((x - mean.reshape(shape)) ** 2) * m).sum(axis=axes) / n
+        n = jnp.maximum(row_mask.astype(jnp.float32).sum() * per_row_elems,
+                        1.0)
+        mean = (xf * m).sum(axis=axes) / n
+        var = (((xf - mean.reshape(shape)) ** 2) * m).sum(axis=axes) / n
         unbiased = var * n / jnp.maximum(n - 1, 1.0)
         new_state = {
             "running_mean": (1 - BN_MOMENTUM) * state["running_mean"]
@@ -78,8 +84,8 @@ def bn_apply(params: Params, state: State, x: jnp.ndarray, channel_axis: int,
             + BN_MOMENTUM * unbiased,
         }
     elif train:
-        mean = x.mean(axis=axes)
-        var = x.var(axis=axes)  # biased, used for normalisation
+        mean = xf.mean(axis=axes)
+        var = xf.var(axis=axes)  # biased, used for normalisation
         n = x.size / x.shape[channel_axis]
         unbiased = var * n / max(n - 1, 1)
         new_state = {
@@ -92,10 +98,10 @@ def bn_apply(params: Params, state: State, x: jnp.ndarray, channel_axis: int,
         mean, var = state["running_mean"], state["running_var"]
         new_state = state
 
-    inv = jax.lax.rsqrt(var + BN_EPS) * params["weight"]
-    out = (x - mean.reshape(shape)) * inv.reshape(shape) \
-        + params["bias"].reshape(shape)
-    return out, new_state
+    inv = jax.lax.rsqrt(var + BN_EPS) * params["weight"].astype(jnp.float32)
+    out = (xf - mean.reshape(shape)) * inv.reshape(shape) \
+        + params["bias"].astype(jnp.float32).reshape(shape)
+    return out.astype(params["weight"].dtype), new_state
 
 
 # ---------------------------------------------------------------- conv helpers
@@ -114,6 +120,7 @@ def conv1x1_init(rng, in_ch: int, out_ch: int) -> Params:
 
 def conv1x1(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     """1x1 Conv2d over (N, C, T, V)."""
+    x = x.astype(params["weight"].dtype)  # keep bf16 compute coherent
     return jnp.einsum("oc,nctv->notv", params["weight"], x) \
         + params["bias"][None, :, None, None]
 
@@ -139,7 +146,7 @@ def temporal_conv_apply(params: Params, state: State, x: jnp.ndarray,
     k = w.shape[-1]
     pad = (k + (k - 1) * (dilation - 1) - 1) // 2
     out = jax.lax.conv_general_dilated(
-        x, w[..., None],  # (O, I, K, 1)
+        x.astype(w.dtype), w[..., None],  # (O, I, K, 1)
         window_strides=(stride, 1),
         padding=((pad, pad), (0, 0)),
         rhs_dilation=(dilation, 1),
@@ -200,7 +207,9 @@ def ms_gcn_apply(params: Params, state: State, x: jnp.ndarray,
                  num_scales: int, train: bool,
                  row_mask=None) -> Tuple[jnp.ndarray, State]:
     N, C, T, V = x.shape
-    A = state["A_powers"] + params["A_res"]
+    # constant adjacency follows the trained-residual dtype so bf16 compute
+    # doesn't silently re-promote the whole block to f32
+    A = state["A_powers"].astype(params["A_res"].dtype) + params["A_res"]
     support = jnp.einsum("vu,nctu->nctv", A, x)  # (N, C, T, S*V)
     support = support.reshape(N, C, T, num_scales, V)
     support = jnp.moveaxis(support, 3, 1).reshape(N, num_scales * C, T, V)
@@ -256,7 +265,7 @@ def st_ms_gcn_apply(params: Params, state: State, x: jnp.ndarray,
                     num_scales: int, train: bool,
                     row_mask=None) -> Tuple[jnp.ndarray, State]:
     N, C, T, WV = x.shape
-    A = state["A_scales"] + params["A_res"]
+    A = state["A_scales"].astype(params["A_res"].dtype) + params["A_res"]
     agg = jnp.einsum("vu,nctu->nctv", A, x)
     agg = agg.reshape(N, C, T, num_scales, WV)
     agg = jnp.moveaxis(agg, 3, 1).reshape(N, num_scales * C, T, WV)
@@ -300,6 +309,7 @@ def ms_g3d_apply(params: Params, state: State, x: jnp.ndarray,
     emb = out.shape[1]
     Tw = out.shape[2]
     out = out.reshape(N, emb, Tw, window_size, V)
+    out = out.astype(params["out_conv"]["weight"].dtype)
     out = jnp.einsum("ocw,nctwv->notv", params["out_conv"]["weight"], out) \
         + params["out_conv"]["bias"][None, :, None, None]
     out, bn_s = bn_apply(params["out_bn"], state["out_bn"], out, 1, train,

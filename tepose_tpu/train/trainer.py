@@ -51,6 +51,14 @@ class TrainHyper:
     disc_update_steps: int = 1
     num_gcn_scales: int = 13
     num_g3d_scales: int = 6
+    # Mixed-precision compute: "bfloat16" casts both nets' params and the
+    # window inputs to bf16 for the fused forward+backward while master
+    # weights, optimiser state, theta feedback, BN running stats and every
+    # loss reduction stay f32 (grads come back f32 through the cast's
+    # transpose). At batch 32 the GRU/GCN matmuls are weight-streaming
+    # bound, so halving weight bytes is the measured throughput knob; the
+    # f32 default is exact reference parity.
+    compute_dtype: Optional[str] = None
 
 
 def _slice_t(x: jnp.ndarray, j, size: int, axis: int) -> jnp.ndarray:
@@ -149,9 +157,26 @@ def make_train_segment(
     (the reference draws a fresh AMASS batch per inner step, trainer.py:165).
     """
     S = hp.seqlen
+    cd = jnp.dtype(hp.compute_dtype) if hp.compute_dtype else None
+
+    def _cast_floats(tree, dtype):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
 
     def losses_fn(gen_params, disc_params, disc_state, inp, targets, valid,
                   theta_buf, amass, rng):
+        if cd is not None:
+            # differentiating THROUGH the casts returns f32 grads for the
+            # f32 master params; inputs to every big matmul go bf16 so the
+            # weights stream at half width. theta_buf/amass feed the
+            # bf16 discriminator via concat, so they must match its dtype
+            # or promotion silently upcasts the GCN back to f32.
+            gen_params = _cast_floats(gen_params, cd)
+            disc_params = _cast_floats(disc_params, cd)
+            inp = inp.astype(cd)
+            theta_buf = theta_buf.astype(cd)
+            amass = amass.astype(cd)
         # vertex-free joints: the loss never reads verts (loss.py:59-171).
         # Step time is unchanged (XLA already DCE'd the unused skinning
         # tensor through jax.grad — measured 101.8 vs 104.0 windows/s on
@@ -198,8 +223,17 @@ def make_train_segment(
             real_motion=amass, disc_fn=disc_fn, weights=weights)
 
         mean_theta = jax.lax.stop_gradient(preds["theta"].mean(axis=1))
-        combined = gen_loss + dis_loss
-        return combined, (gen_loss, dis_loss, ld, state_box["s"], mean_theta)
+        final_state = state_box["s"]
+        if cd is not None:
+            # scan-carry dtypes are f32: theta feedback and BN running
+            # stats accumulate at full precision across windows
+            mean_theta = mean_theta.astype(jnp.float32)
+            final_state = _cast_floats(final_state, jnp.float32)
+            gen_loss = gen_loss.astype(jnp.float32)
+            dis_loss = dis_loss.astype(jnp.float32)
+            ld = _cast_floats(ld, jnp.float32)
+        combined = (gen_loss + dis_loss).astype(jnp.float32)
+        return combined, (gen_loss, dis_loss, ld, final_state, mean_theta)
 
     grad_fn = jax.grad(losses_fn, argnums=(0, 1), has_aux=True)
 

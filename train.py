@@ -95,6 +95,21 @@ def main():
         i = sys.argv.index("--profile")
         profile_dir = sys.argv[i + 1]
         del sys.argv[i:i + 2]
+    # --precision bf16: mixed-precision GAN passes (bf16 weights/activations,
+    # f32 master weights/optimiser/BN stats/losses) — measured 1.18x
+    # windows/s at flagship shapes on v5e (BENCH_NOTES.md); gradient
+    # agreement with the f32 path is pinned in tests/test_trainer.py.
+    # Default f32 keeps exact reference parity.
+    compute_dtype = None
+    if "--precision" in sys.argv:
+        i = sys.argv.index("--precision")
+        prec = sys.argv[i + 1]
+        del sys.argv[i:i + 2]
+        if prec in ("bf16", "bfloat16"):
+            compute_dtype = "bfloat16"
+        elif prec not in ("f32", "float32", "default"):
+            raise SystemExit(f"unknown --precision {prec!r} "
+                             "(choose bf16 or float32)")
 
     cfg, cfg_file, args = parse_args()
     logdir = prepare_output_dir(cfg, cfg_file)
@@ -157,7 +172,8 @@ def main():
         update_theta_rate=cfg.TRAIN.UPDATE_THETA_RATE,
         disc_update_steps=cfg.TRAIN.MOT_DISCR.UPDATE_STEPS,
         num_gcn_scales=cfg.TRAIN.MOT_DISCR.GCN.num_gcn_scales,
-        num_g3d_scales=cfg.TRAIN.MOT_DISCR.GCN.num_g3d_scales)
+        num_g3d_scales=cfg.TRAIN.MOT_DISCR.GCN.num_g3d_scales,
+        compute_dtype=compute_dtype)
 
     gen_tx = make_optimizer(cfg.TRAIN.GEN_OPTIM, cfg.TRAIN.GEN_LR,
                             cfg.TRAIN.GEN_WD, cfg.TRAIN.GEN_MOMENTUM)
