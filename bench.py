@@ -241,12 +241,16 @@ def measure_end_to_end(cfg, smpl, params, n_streams=8, frames=120):
     }
 
 
-def measure_training(vidlen=126, num_iters=120, hp=None):
+def measure_training(vidlen=126, num_iters=120, hp=None,
+                     fast_encoder=False):
     """GAN training throughput at flagship shapes (batch 32 = 19 2D + 13 3D,
     hidden-1024 2-layer encoder, 13/6-scale GCN discriminator, full SMPL):
     windows/sec of the packed on-device segment (ref: trainer.py:124-247,
     NUM_ITERS_PER_EPOCH inner loop). `hp` overrides the batch shape (used
-    by tools/bench_notes.py for the batch-scaling measurement)."""
+    by tools/bench_notes.py for the batch-scaling measurement);
+    `fast_encoder=True` measures the encoder variant train.py ships
+    (measured same step time as the plain one at batch 32, ~2.4x faster
+    compile — kept False here for cross-round BENCH comparability)."""
     import jax.random as jrandom
 
     from tepose_tpu.models.gcn import (
@@ -257,7 +261,8 @@ def measure_training(vidlen=126, num_iters=120, hp=None):
     from tepose_tpu.train.trainer import (
         TrainHyper, make_packed_train_segment)
 
-    cfg = TePoseConfig(seqlen=6, n_layers=2, hidden_size=1024)
+    cfg = TePoseConfig(seqlen=6, n_layers=2, hidden_size=1024,
+                       fast_encoder=fast_encoder)
     hp = hp or TrainHyper()
     smpl = synthetic_smpl_model(seed=0)
 
@@ -372,6 +377,14 @@ def main() -> None:
             cfg, smpl, packer, flats)
         e2e = measure_end_to_end(cfg, smpl, params)
         train = measure_training()
+        from tepose_tpu.train.trainer import TrainHyper
+        try:
+            train_bf16 = measure_training(
+                num_iters=60, hp=TrainHyper(compute_dtype="bfloat16"))
+        except Exception as e:  # never take down the f32 numbers with it
+            train_bf16 = {"wps": float("nan"), "mfu": None,
+                          "gflops_per_iter": float("nan")}
+            print(f"# bf16 train measurement failed: {e}", file=sys.stderr)
 
     from tepose_tpu.utils import flops as FL
 
@@ -413,6 +426,13 @@ def main() -> None:
             "train_mfu": (round(train["mfu"], 4)
                           if train["mfu"] is not None else None),
             "train_gflops_per_iter": round(train["gflops_per_iter"], 1),
+            "train_bf16_windows_per_sec": round(train_bf16["wps"], 1),
+            "train_bf16_mfu": (round(train_bf16["mfu"], 4)
+                               if train_bf16["mfu"] is not None else None),
+            "train_bf16_note": "same GAN segment with TrainHyper(compute_"
+                               "dtype='bfloat16') — train.py --precision "
+                               "bf16; f32 master weights, gradient parity "
+                               "pinned in tests/test_trainer.py",
             "model_gflops_per_frame": model_gflops,
             "peak_flops_assumed": peak,
             "mfu_note": "MFU = analytic FLOPs (utils/flops.py, "

@@ -53,11 +53,14 @@ class TrainHyper:
     num_g3d_scales: int = 6
     # Mixed-precision compute: "bfloat16" casts both nets' params and the
     # window inputs to bf16 for the fused forward+backward while master
-    # weights, optimiser state, theta feedback, BN running stats and every
-    # loss reduction stay f32 (grads come back f32 through the cast's
-    # transpose). At batch 32 the GRU/GCN matmuls are weight-streaming
-    # bound, so halving weight bytes is the measured throughput knob; the
-    # f32 default is exact reference parity.
+    # weights, optimiser state, theta feedback and BN running stats stay
+    # f32 (grads come back f32 through the cast's transpose). Keypoint/SMPL
+    # loss reductions run f32 via promotion against the f32 targets; the
+    # LSGAN scalar reductions and the discriminator GAP run in bf16 (their
+    # scalars are cast back afterwards — bounded by the gradient-parity
+    # test). At batch 32 the GRU/GCN matmuls are weight-streaming bound,
+    # so halving weight bytes is the measured throughput knob; the f32
+    # default is exact reference parity.
     compute_dtype: Optional[str] = None
 
 
@@ -223,17 +226,19 @@ def make_train_segment(
             real_motion=amass, disc_fn=disc_fn, weights=weights)
 
         mean_theta = jax.lax.stop_gradient(preds["theta"].mean(axis=1))
-        final_state = state_box["s"]
         if cd is not None:
-            # scan-carry dtypes are f32: theta feedback and BN running
-            # stats accumulate at full precision across windows
+            # back to f32 at the boundary: mean_theta feeds the f32 theta
+            # ring buffer (scan carry), and the pure-GAN scalars
+            # (dis_loss, ld's d_* entries) are bf16 — the keypoint/SMPL
+            # terms are already f32 by promotion against f32 targets, and
+            # bn_apply keeps running stats f32, so disc_state needs no
+            # cast.
             mean_theta = mean_theta.astype(jnp.float32)
-            final_state = _cast_floats(final_state, jnp.float32)
             gen_loss = gen_loss.astype(jnp.float32)
             dis_loss = dis_loss.astype(jnp.float32)
             ld = _cast_floats(ld, jnp.float32)
         combined = (gen_loss + dis_loss).astype(jnp.float32)
-        return combined, (gen_loss, dis_loss, ld, final_state, mean_theta)
+        return combined, (gen_loss, dis_loss, ld, state_box["s"], mean_theta)
 
     grad_fn = jax.grad(losses_fn, argnums=(0, 1), has_aux=True)
 

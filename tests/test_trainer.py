@@ -91,10 +91,13 @@ def test_bf16_compute_gradient_agreement(rng):
     1.18x mixed-precision training knob. SGD(lr=1) makes the one-step param
     delta equal the (negated) gradient, so comparing deltas compares raw
     gradients; update_theta_rate=1 and a shared PRNG key make the two runs
-    draw identical dropout/sampling masks."""
+    draw identical dropout/sampling masks. fast_encoder=True because that
+    is what train.py actually ships (train.py:~126) — the lane-batched
+    einsum encoder must be the path the bf16 gate guards."""
     hp = TrainHyper(seqlen=6, n_2d=2, n_3d=3, update_theta_rate=1.0,
                     disc_update_steps=1, num_gcn_scales=3, num_g3d_scales=2)
-    model_cfg = TePoseConfig(seqlen=6, n_layers=1, hidden_size=32)
+    model_cfg = TePoseConfig(seqlen=6, n_layers=1, hidden_size=32,
+                             fast_encoder=True)
     smpl = synthetic_smpl_model(seed=0, num_verts=64)
 
     gen_params = tepose_init(jax.random.PRNGKey(0), model_cfg)

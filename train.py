@@ -103,6 +103,8 @@ def main():
     compute_dtype = None
     if "--precision" in sys.argv:
         i = sys.argv.index("--precision")
+        if i + 1 >= len(sys.argv):
+            raise SystemExit("--precision needs a value (bf16 or float32)")
         prec = sys.argv[i + 1]
         del sys.argv[i:i + 2]
         if prec in ("bf16", "bfloat16"):
