@@ -21,10 +21,17 @@ from tepose_tpu.utils.packing import FlatPacker
 
 class FeatureExtractor:
     """Batched crop -> ResNet-50 feature pipeline with device-resident
-    weights (one packed buffer; see utils.packing)."""
+    weights (one packed buffer; see utils.packing).
+
+    `mesh` (optional jax.sharding.Mesh) data-parallelises the offline
+    extraction: weights replicate, each crop batch shards on its leading
+    axis, and every lax.map step processes `conv_chunk * n_devices` crops
+    so each device keeps its measured per-device chunk optimum (16 f32 —
+    the multi-chip counterpart of StreamingEngine's fused-path sharding
+    for the DB-building pipeline, SURVEY §2.4/§2.6)."""
 
     def __init__(self, backbone_params: Dict, batch_size: int = 256,
-                 crop_size: int = 224, conv_chunk: int = 16):
+                 crop_size: int = 224, conv_chunk: int = 16, mesh=None):
         # batch_size = crops per DEVICE CALL (big: the link charges per
         # call); conv_chunk = crops per lax.map step INSIDE the call (small:
         # 16 is the measured v5e conv optimum — see
@@ -32,14 +39,26 @@ class FeatureExtractor:
         # isn't a multiple of conv_chunk, use the largest divisor of
         # batch_size <= conv_chunk (falling back to one big chunk would be
         # the measured worst case — VMEM-thrashing conv activations).
+        if mesh is not None:
+            conv_chunk *= mesh.devices.size
+            if batch_size % mesh.devices.size:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide over the "
+                    f"{mesh.devices.size}-device mesh")
         conv_chunk = min(conv_chunk, batch_size)
         while batch_size % conv_chunk:
             conv_chunk -= 1
+        if mesh is not None and conv_chunk % mesh.devices.size:
+            raise ValueError(
+                f"no conv chunking of batch_size {batch_size} aligns with "
+                f"the {mesh.devices.size}-device mesh; pick a batch_size "
+                "divisible by devices*16")
+        self.mesh = mesh
         self.batch_size = batch_size
         self.crop_size = crop_size
         self._packer = FlatPacker(backbone_params)
         self._flats = tuple(
-            jax.device_put(jnp.asarray(f))
+            jax.device_put(jnp.asarray(f), self._weight_sharding())
             for f in self._packer.pack_np(backbone_params))
         packer = self._packer
         n_chunks = batch_size // conv_chunk
@@ -57,11 +76,39 @@ class FeatureExtractor:
                     c = (c.astype(jnp.float32) / 255.0 - mean) / std
                 return resnet50_features(params, c)
 
-            out = jax.lax.map(
-                one, crops.reshape((n_chunks, conv_chunk) + crops.shape[1:]))
+            chunked = crops.reshape((n_chunks, conv_chunk) + crops.shape[1:])
+            if mesh is not None:
+                # shard each map step's chunk across devices (NOT the chunk
+                # axis: lax.map is serial, so sharding axis 0 would leave
+                # devices idle) — every step runs conv_chunk/n_devices
+                # crops per device with fully-local conv inputs
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from tepose_tpu.parallel.mesh import DATA_AXIS
+
+                chunked = jax.lax.with_sharding_constraint(
+                    chunked, NamedSharding(
+                        mesh, P(None, DATA_AXIS, None, None, None)))
+            out = jax.lax.map(one, chunked)
             return out.reshape(batch_size, 2048)
 
         self._fn = fn
+
+    def _weight_sharding(self):
+        if self.mesh is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return NamedSharding(self.mesh, P())
+
+    def _batch_sharding(self):
+        if self.mesh is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from tepose_tpu.parallel.mesh import DATA_AXIS
+
+        return NamedSharding(self.mesh, P(DATA_AXIS, None, None, None))
 
     def features_from_crops(self, crops: np.ndarray) -> np.ndarray:
         """(N, 3, S, S) -> (N, 2048); uint8 crops normalise on-device."""
@@ -75,8 +122,9 @@ class FeatureExtractor:
                 chunk = np.concatenate(
                     [chunk, np.zeros((B - n,) + chunk.shape[1:],
                                      chunk.dtype)])
-            out[i:i + n] = np.asarray(
-                self._fn(self._flats, jnp.asarray(chunk)))[:n]
+            dev = jnp.asarray(chunk) if self.mesh is None else \
+                jax.device_put(chunk, self._batch_sharding())
+            out[i:i + n] = np.asarray(self._fn(self._flats, dev))[:n]
         return out
 
     def extract_from_images(self, image_paths: Sequence[str],

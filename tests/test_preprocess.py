@@ -141,3 +141,31 @@ def test_feature_extractor_batching(rng):
                            batch_size=6, crop_size=64)
     out2 = fe2.features_from_crops(crops)
     np.testing.assert_allclose(out, out2, atol=1e-4)
+
+
+def test_feature_extractor_mesh_matches_single(rng):
+    """Mesh-sharded offline extraction (DB building over a pod slice) must
+    reproduce the single-device features: weights replicate, crop batches
+    shard, each lax.map step spreads its chunk across devices."""
+    from tepose_tpu.data.preprocess import FeatureExtractor
+    from tepose_tpu.models.backbone import resnet50_init
+    from tepose_tpu.parallel.mesh import make_mesh
+
+    params = resnet50_init(jax.random.PRNGKey(1))
+    crops = rng.randn(10, 3, 64, 64).astype(np.float32)
+    single = FeatureExtractor(params, batch_size=8, crop_size=64,
+                              conv_chunk=2).features_from_crops(crops)
+    sharded = FeatureExtractor(params, batch_size=8, crop_size=64,
+                               conv_chunk=2, mesh=make_mesh(8)
+                               ).features_from_crops(crops)
+    # cross-device reduction order shifts the last few ulps of ~1e3 values
+    np.testing.assert_allclose(single, sharded, rtol=1e-4, atol=1e-3)
+
+    # uint8 path (on-device normalisation) through the mesh as well
+    u8 = rng.randint(0, 255, (8, 3, 64, 64)).astype(np.uint8)
+    s1 = FeatureExtractor(params, batch_size=8, crop_size=64,
+                          conv_chunk=2).features_from_crops(u8)
+    s8 = FeatureExtractor(params, batch_size=8, crop_size=64,
+                          conv_chunk=2, mesh=make_mesh(8)
+                          ).features_from_crops(u8)
+    np.testing.assert_allclose(s1, s8, rtol=1e-4, atol=1e-3)

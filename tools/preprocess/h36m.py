@@ -36,13 +36,13 @@ def cam2pixel(cam, f, c):
 
 
 def read_data(dataset_path: str, split: str = "train",
-              variant: str = "tight", backbone=None):
+              variant: str = "tight", backbone=None, mesh=None):
     from tepose_tpu.data.kp_utils import convert_kps
     from tepose_tpu.data.preprocess import FeatureExtractor
     from tepose_tpu.ops.filters import get_smooth_bbox_params
 
     extractor = FeatureExtractor(backbone if backbone is not None
-                                 else load_backbone())
+                                 else load_backbone(), mesh=mesh)
     bbox_expand = 0.9 if variant == "tight" else 1.1
     crop_scale = 1.0 if variant == "tight" else 1.2
 

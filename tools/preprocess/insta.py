@@ -37,7 +37,8 @@ def iter_tfrecord(path: str):
             yield payload
 
 
-def read_data(folder: str, out_path: str = None, backbone=None) -> str:
+def read_data(folder: str, out_path: str = None, backbone=None,
+              mesh=None) -> str:
     import cv2
     import h5py
 
@@ -51,7 +52,7 @@ def read_data(folder: str, out_path: str = None, backbone=None) -> str:
         have_tf = False
 
     extractor = FeatureExtractor(backbone if backbone is not None
-                                 else load_backbone())
+                                 else load_backbone(), mesh=mesh)
     out_path = out_path or osp.join(TePose_DB_DIR, "insta_train_db.h5")
     records = sorted(glob.glob(osp.join(folder, "train", "*.tfrecord")))
     if not records:

@@ -31,14 +31,14 @@ def bbox_from_kp2d(kp: np.ndarray) -> np.ndarray:
                     np.float32)
 
 
-def read_train_data(dataset_path: str, backbone=None):
+def read_train_data(dataset_path: str, backbone=None, mesh=None):
     import scipy.io as sio
 
     from tepose_tpu.data.kp_utils import convert_kps
     from tepose_tpu.data.preprocess import FeatureExtractor
 
     extractor = FeatureExtractor(backbone if backbone is not None
-                                 else load_backbone())
+                                 else load_backbone(), mesh=mesh)
     dataset = {k: [] for k in
                ("vid_name", "frame_id", "joints3D", "joints2D", "bbox",
                 "img_name", "features")}
@@ -105,14 +105,14 @@ def read_train_data(dataset_path: str, backbone=None):
     return concatenate_db(dataset)
 
 
-def read_test_data(dataset_path: str, backbone=None):
+def read_test_data(dataset_path: str, backbone=None, mesh=None):
     import h5py
 
     from tepose_tpu.data.kp_utils import convert_kps
     from tepose_tpu.data.preprocess import FeatureExtractor
 
     extractor = FeatureExtractor(backbone if backbone is not None
-                                 else load_backbone())
+                                 else load_backbone(), mesh=mesh)
     dataset = {k: [] for k in
                ("vid_name", "frame_id", "joints3D", "joints2D", "bbox",
                 "img_name", "features", "valid_i")}

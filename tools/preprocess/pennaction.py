@@ -20,14 +20,14 @@ sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
 from common import concatenate_db, load_backbone, save_db  # noqa: E402
 
 
-def read_data(folder: str, backbone=None):
+def read_data(folder: str, backbone=None, mesh=None):
     from scipy.io import loadmat
 
     from tepose_tpu.data.kp_utils import perm_idxs
     from tepose_tpu.data.preprocess import FeatureExtractor
 
     extractor = FeatureExtractor(backbone if backbone is not None
-                                 else load_backbone())
+                                 else load_backbone(), mesh=mesh)
     dataset = {k: [] for k in
                ("img_name", "joints2D", "bbox", "vid_name", "features")}
 

@@ -31,12 +31,12 @@ POSETRACK_ORIGINAL_KP = [
 ]
 
 
-def read_data(folder: str, split: str, backbone=None):
+def read_data(folder: str, split: str, backbone=None, mesh=None):
     from tepose_tpu.data.kp_utils import convert_kps
     from tepose_tpu.data.preprocess import FeatureExtractor
 
     extractor = FeatureExtractor(backbone if backbone is not None
-                                 else load_backbone())
+                                 else load_backbone(), mesh=mesh)
     dataset = {k: [] for k in
                ("img_name", "joints2D", "bbox", "vid_name", "features")}
 

@@ -29,7 +29,7 @@ MIN_KP = 6
 
 
 def read_data(folder: str, split: str, occluders=None, db_dir=None,
-              backbone=None, smpl=None, j_regressor=None):
+              backbone=None, smpl=None, j_regressor=None, mesh=None):
     import jax.numpy as jnp
 
     from tepose_tpu.data.kp_utils import perm_idxs
@@ -45,7 +45,7 @@ def read_data(folder: str, split: str, occluders=None, db_dir=None,
     use_j14 = split in ("test", "validation", "val")
     if use_j14 and j_regressor is None:
         j_regressor = load_h36m_regressor()
-    extractor = FeatureExtractor(backbone)
+    extractor = FeatureExtractor(backbone, mesh=mesh)
 
     dataset = {k: [] for k in
                ("vid_name", "frame_id", "joints3D", "joints2D", "shape",
