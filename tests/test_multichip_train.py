@@ -91,6 +91,41 @@ def test_dp_segment_matches_single_device(rng):
         np.testing.assert_allclose(b, a, rtol=1e-3, atol=5e-5)
 
 
+def test_dp_segment_bf16_compute_composes(rng):
+    """--devices N and --precision bf16 compose: the sharded bf16 segment
+    runs, keeps f32 master weights, and stays near the single-device bf16
+    result (cross-device reduction order moves bf16 sums more than f32)."""
+    num_iters = 2
+    (hp, model_cfg, smpl, gen_tx, disc_tx, carry, data) = _setup(
+        rng, num_iters)
+    hp = TrainHyper(**{**hp.__dict__, "compute_dtype": "bfloat16"})
+    key = jax.random.PRNGKey(42)
+
+    seg1 = make_train_segment(smpl, model_cfg, hp, gen_tx, disc_tx,
+                              LossWeights(), num_iters)
+    carry_copy = jax.tree_util.tree_map(jnp.array, carry)
+    out1 = seg1(*carry_copy, data["batch_2d"], data["batch_3d"],
+                data["amass"], key)
+    metrics1 = {k: float(v) for k, v in out1[5].items()}
+
+    mesh = make_mesh(8)
+    seg8, carry_placer, data_placer = make_sharded_train_segment(
+        smpl, model_cfg, hp, gen_tx, disc_tx, LossWeights(), num_iters,
+        mesh, carry, data)
+    new_leaves, mvec = seg8(carry_placer.pack_np(carry),
+                            data_placer.pack_np(data), key)
+    metrics8 = dict(zip(seg8.metric_names(), np.asarray(mvec).tolist()))
+
+    for k, v in metrics1.items():
+        assert np.isfinite(metrics8[k]), k
+        np.testing.assert_allclose(metrics8[k], v, rtol=2e-2, atol=1e-4,
+                                   err_msg=k)
+    # master weights stay f32 on the mesh
+    gen8 = carry_placer.unpack_np(new_leaves)[0]
+    for leaf in jax.tree_util.tree_leaves(gen8):
+        assert np.asarray(leaf).dtype == np.float32
+
+
 def test_divisibility_guard():
     hp = TrainHyper(n_2d=19, n_3d=13)
     with pytest.raises(ValueError, match="not divisible"):
