@@ -1,0 +1,206 @@
+"""Per-frame live streaming inference — the T+1=6 low-latency serving mode.
+
+TePose's design argument over VIBE/TCMR/MEVA is latency: one prediction
+needs only 6 input frames (T+1 column of the README tables; SURVEY §6), yet
+the reference only ever runs offline over whole videos (demo.py:171-252
+batches full tracklets). `LiveSession` turns the same models into a true
+frame-at-a-time engine: device-resident carry (VIBE bootstrap GRU hidden
+state, the fast-encoder projection ring, the theta feedback ring), one
+jitted step per arriving frame, outputs for frame t emitted the moment
+frame t lands.
+
+Exact-output property (pinned in tests/test_live.py): pushing frames
+0..T-1 produces, frame for frame, the same predictions as the offline
+`StreamingEngine.run_tracklet` on the whole clip — the VIBE bootstrap is
+unidirectional (VibeConfig.bidirectional=False, ref: evaluate.py:89-98) so
+its first S-1 outputs are causal, and from frame S-1 on the offline scan's
+window k = t-S+1 sees exactly the frames the live ring holds.
+
+ref: demo.py:229-252 (the per-window loop this replaces), vibe.py:102-117.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tepose_tpu.models import layers as L
+from tepose_tpu.models.fast_encoder import (
+    fast_encoder_window, pack_fast_encoder, project_frame_features)
+from tepose_tpu.models.regressor import regressor_apply
+from tepose_tpu.models.smpl import SmplModel
+from tepose_tpu.models.tepose import TePoseConfig, VibeConfig
+from tepose_tpu.utils.packing import FlatPacker
+
+LIVE_OUTPUTS = ("theta", "verts", "kp_2d", "kp_3d")
+
+
+def _vibe_gru_step(gru_params: Dict, n_layers: int, h_stack: jnp.ndarray,
+                   x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One timestep of the (unidirectional) multi-layer VIBE GRU.
+
+    h_stack (n_layers, B, H); x (B, F). Running layer-by-layer per timestep
+    with carried per-layer hidden is equivalent to torch's layer-by-layer
+    over the whole sequence (standard stacked-RNN identity), so this matches
+    `layers.gru_apply` output at every position.
+    """
+    hs = []
+    y = x
+    for layer in range(n_layers):
+        w_ih = gru_params[f"weight_ih_l{layer}"]
+        w_hh = gru_params[f"weight_hh_l{layer}"]
+        b_ih = gru_params[f"bias_ih_l{layer}"]
+        b_hh = gru_params[f"bias_hh_l{layer}"]
+        x_proj = y @ w_ih.T + b_ih
+        h_new = L._gru_cell(x_proj, h_stack[layer], w_hh, b_hh,
+                            w_hh.shape[1])
+        hs.append(h_new)
+        y = h_new
+    return jnp.stack(hs), y
+
+
+class LiveSession:
+    """Frame-at-a-time streaming over `n_streams` concurrent tracklets.
+
+    push() accepts either per-stream features (B, 2048) or raw crops
+    (B, 3, S, S) u8/f32 (with `backbone_params`), runs ONE jitted device
+    step, and returns {"valid": bool, **outputs} — `valid` is False while
+    the theta window is still filling (frames 0..S-2 return the causal
+    VIBE bootstrap predictions, exactly the offline engine's boot frames).
+
+    All weights ride in one packed f32 buffer and the whole carry in one
+    more (+ an int32 frame counter), so a push costs 3 input buffers over
+    the dev tunnel; the carry is donated and never visits the host.
+    """
+
+    def __init__(self, smpl: SmplModel, tepose_params: Dict,
+                 vibe_params: Dict, model_cfg: TePoseConfig,
+                 vibe_cfg: VibeConfig, n_streams: int = 1,
+                 backbone_params: Optional[Dict] = None,
+                 outputs: Tuple[str, ...] = ("theta", "kp_3d"),
+                 theta_pseu: Optional[np.ndarray] = None):
+        bad = set(outputs) - set(LIVE_OUTPUTS)
+        if bad:
+            raise ValueError(f"unknown outputs {sorted(bad)}; "
+                             f"choose from {LIVE_OUTPUTS}")
+        S = model_cfg.seqlen
+        B = n_streams
+        self.model_cfg = model_cfg
+        self.vibe_cfg = vibe_cfg
+        self.n_streams = B
+        self.outputs = tuple(outputs)
+        if vibe_cfg.bidirectional:
+            raise ValueError("live mode needs a causal (unidirectional) "
+                             "VIBE bootstrap")
+
+        fast = pack_fast_encoder(tepose_params["encoder"], model_cfg.n_layers)
+        n_lanes, lane_dim = fast["layers"][0]["w_feat"].shape[:2]
+
+        weights = {"fast": fast, "reg": tepose_params["regressor"],
+                   "vibe": vibe_params}
+        if backbone_params is not None:
+            weights["bb"] = backbone_params
+        self._w_packer = FlatPacker(weights)
+        self._w_flats = tuple(jax.device_put(jnp.asarray(f))
+                              for f in self._w_packer.pack_np(weights))
+
+        if theta_pseu is None:
+            theta_ring0 = np.zeros((B, S - 1, 85), np.float32)
+            theta_ring0[:, :, 0] = 1.0  # identity cam, engine's default
+        else:
+            theta_ring0 = np.broadcast_to(
+                np.asarray(theta_pseu, np.float32), (B, S - 1, 85)).copy()
+        vh = int(vibe_params["encoder"]["gru"]["weight_hh_l0"].shape[1])
+        carry0 = {
+            "vibe_h": np.zeros((vibe_cfg.n_layers, B, vh), np.float32),
+            "proj_ring": np.zeros((B, S - 1, n_lanes, lane_dim), np.float32),
+            "theta_ring": theta_ring0,
+        }
+        self._c_packer = FlatPacker(carry0)
+        self._carry = tuple(jax.device_put(jnp.asarray(f))
+                            for f in self._c_packer.pack_np(carry0))
+        self._t = jnp.zeros((), jnp.int32)
+        self._frames_seen = 0
+
+        w_packer, c_packer = self._w_packer, self._c_packer
+        smpl_t = smpl
+        out_keys = self.outputs
+        has_bb = backbone_params is not None
+
+        def one_step(w_flats, c_flats, t, x):
+            w = w_packer.unpack(w_flats)
+            carry = c_packer.unpack(c_flats)
+            if has_bb and x.ndim == 4:
+                from tepose_tpu.models.backbone import resnet50_features
+                if x.dtype == jnp.uint8:
+                    mean = jnp.asarray([0.485, 0.456, 0.406],
+                                       jnp.float32).reshape(1, 3, 1, 1)
+                    std = jnp.asarray([0.229, 0.224, 0.225],
+                                      jnp.float32).reshape(1, 3, 1, 1)
+                    x = (x.astype(jnp.float32) / 255.0 - mean) / std
+                feat = resnet50_features(w["bb"], x)               # (B, 2048)
+            else:
+                feat = x
+
+            # --- causal VIBE bootstrap step (boot frames t < S-1) ----------
+            vibe_h, y = _vibe_gru_step(w["vibe"]["encoder"]["gru"],
+                                       vibe_cfg.n_layers,
+                                       carry["vibe_h"], feat)
+            if "linear" in w["vibe"]["encoder"]:
+                y = L.linear(w["vibe"]["encoder"]["linear"], jax.nn.relu(y))
+            if vibe_cfg.use_residual and y.shape[-1] == 2048:
+                y = y + feat
+            vibe_out = regressor_apply(w["vibe"]["regressor"], smpl_t, y)
+
+            # --- TePose window step (frames t >= S-1) ----------------------
+            proj = project_frame_features(w["fast"], feat[:, None])[:, 0]
+            proj_win = jnp.concatenate(
+                [carry["proj_ring"], proj[:, None]], axis=1)       # (B,S,...)
+            thetas = jnp.concatenate(
+                [carry["theta_ring"],
+                 jnp.zeros_like(carry["theta_ring"][:, :1])], axis=1)
+            feature = fast_encoder_window(w["fast"], proj_win, thetas)
+            win_out = regressor_apply(w["reg"], smpl_t, feature)
+
+            live = t >= S - 1
+            outs = {k: jnp.where(
+                jnp.reshape(live, (1,) * win_out[k].ndim),
+                win_out[k], vibe_out[k]) for k in out_keys}
+
+            # ring updates: the theta feedback only advances once the
+            # window is live (before that the offline scan hasn't started
+            # and the ring must keep holding the pseudo-thetas)
+            new_theta_ring = jnp.where(
+                live,
+                jnp.concatenate([carry["theta_ring"][:, 1:],
+                                 win_out["theta"][:, None]], axis=1),
+                carry["theta_ring"])
+            new_carry = {
+                "vibe_h": vibe_h,
+                "proj_ring": jnp.concatenate(
+                    [carry["proj_ring"][:, 1:], proj[:, None]], axis=1),
+                "theta_ring": new_theta_ring,
+            }
+            return c_packer.pack(new_carry), t + 1, outs
+
+        self._step = jax.jit(one_step, donate_argnums=(1,))
+
+    def push(self, x: np.ndarray) -> Dict[str, np.ndarray]:
+        """Feed one frame per stream; returns this frame's predictions.
+
+        x: (B, 2048) features, or (B, 3, S, S) crops when the session was
+        built with backbone_params. `valid` False = theta window still
+        filling (outputs are the causal VIBE bootstrap for those frames).
+        """
+        if x.shape[0] != self.n_streams:
+            raise ValueError(f"expected {self.n_streams} streams, "
+                             f"got {x.shape[0]}")
+        self._carry, self._t, outs = self._step(
+            self._w_flats, self._carry, self._t, jnp.asarray(x))
+        res = {k: np.asarray(v) for k, v in outs.items()}
+        res["valid"] = self._frames_seen >= self.model_cfg.seqlen - 1
+        self._frames_seen += 1
+        return res
