@@ -10,6 +10,8 @@ optional 1-euro smoothing -> mesh overlay render -> output video.
                  [--detections dets.npz | --tracking_method pose
                   --staf_dir <openpose json dir>]
   python demo.py --synthetic          # smoke-run on a generated video
+  python demo.py --live --vid_file cam:0   # causal frame-at-a-time serving
+                                      # (pose for frame t as frame t lands)
 
 Person detection is built in and auto-selected: a background-subtraction
 motion detector for static-camera footage, a global-motion-compensated
@@ -89,6 +91,18 @@ def parse_args():
                    help="smoke-run on a generated video with random weights")
     p.add_argument("--profile", type=str, default="",
                    help="capture a jax.profiler trace into this directory")
+    p.add_argument("--live", action="store_true",
+                   help="frame-at-a-time causal mode: pose for frame t is "
+                        "computed (and rendered) the moment frame t arrives "
+                        "— T+1=6 latency instead of whole-clip batching. "
+                        "Single person, static camera; --vid_file may be "
+                        "cam:<N> for a webcam. Prints per-frame latency")
+    p.add_argument("--live_bootstrap", type=int, default=MIN_NUM_FRAMES,
+                   help="frames buffered at stream start to build the "
+                        "causal detector's background model")
+    p.add_argument("--live_max_frames", type=int, default=0,
+                   help="stop the live loop after N frames (0 = all; "
+                        "useful for webcams)")
     return p.parse_args()
 
 
@@ -109,9 +123,11 @@ def make_synthetic_video(path: str, n_frames: int = 40,
     writer.release()
 
 
-def main():
-    args = parse_args()
+def build_demo_models(args):
+    """Load (or synthesize, with --synthetic) SMPL assets + the three nets.
 
+    Returns (smpl, faces, mcfg, vcfg, tepose_params, vibe_params,
+    backbone_params) — shared by the offline and --live paths."""
     import jax
 
     from tepose_tpu.config import BASE_DATA_DIR
@@ -120,13 +136,225 @@ def main():
         load_smpl_assets, load_smpl_faces, synthetic_smpl_model)
     from tepose_tpu.models.tepose import (
         TePoseConfig, VibeConfig, tepose_init, vibe_init)
+    from tepose_tpu.train.checkpoint import load_checkpoint
+
+    mcfg = TePoseConfig(seqlen=6, n_layers=2, hidden_size=1024)
+    vcfg = VibeConfig(seqlen=16, n_layers=2, hidden_size=1024,
+                      add_linear=True)
+    smpl_npz = osp.join(BASE_DATA_DIR, f"smpl_{args.gender}.npz")
+    if osp.isfile(smpl_npz):
+        smpl = load_smpl_assets(smpl_npz)
+        faces = load_smpl_faces(smpl_npz)
+    elif args.synthetic:
+        smpl = synthetic_smpl_model(seed=0)
+        # icosphere-ish random faces are useless; build a coarse convex hull
+        from scipy.spatial import ConvexHull
+
+        pts = np.asarray(smpl.v_template)
+        faces = ConvexHull(pts).simplices.astype(np.int32)
+    else:
+        sys.exit(f"{smpl_npz} missing — convert your SMPL model with "
+                 "tools/convert_smpl.py (or --synthetic to smoke-run)")
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    if args.synthetic or not osp.isfile(args.model):
+        if not args.synthetic:
+            sys.exit(f"{args.model} is not a pretrained model!")
+        with jax.default_device(cpu):
+            tepose_params = tepose_init(jax.random.PRNGKey(0), mcfg)
+            vibe_params = vibe_init(jax.random.PRNGKey(1), vcfg)
+            backbone_params = resnet50_init(jax.random.PRNGKey(2))
+    else:
+        tepose_params = load_checkpoint(args.model)[0]["gen"]
+        spin_npz = osp.join(BASE_DATA_DIR, "spin_model_checkpoint.npz")
+        vibe_npz = osp.join(BASE_DATA_DIR, "vibe_wo_3dpw.npz")
+        for pth in (spin_npz, vibe_npz):
+            if not osp.isfile(pth):
+                sys.exit(f"{pth} missing — run tools/convert_checkpoint.py")
+        backbone_params = load_checkpoint(spin_npz)[0]["backbone"]
+        vibe_params = load_checkpoint(vibe_npz)[0]["gen"]
+    return (smpl, faces, mcfg, vcfg, tepose_params, vibe_params,
+            backbone_params)
+
+
+def run_live(args, crop_size: int = 224):
+    """Causal frame-at-a-time demo: detect → crop → LiveSession.push →
+    render, each step the moment its frame arrives.
+
+    TPU-new capability: the reference's demo batches whole tracklets
+    (ref: demo.py:171-252) and can only run offline; this path serves pose
+    for frame t with T+1 = 6 frames of algorithmic latency (the paper's
+    headline argument, SURVEY §6) plus one device step. Single person,
+    static camera (webcams/fixed installs); `--vid_file cam:<N>` reads a
+    webcam. Prints per-frame latency percentiles at the end.
+    """
+    import collections
+
+    from tepose_tpu.native import crop_normalize, render_mesh
+    from tepose_tpu.streaming import demo_utils as D
+    from tepose_tpu.streaming.live import LiveSession
+    from tepose_tpu.streaming.tracker import CausalPersonTracker
+
+    os.makedirs(args.output_folder, exist_ok=True)
+    if args.synthetic and not args.vid_file:
+        args.vid_file = osp.join(args.output_folder, "synthetic_input.mp4")
+        make_synthetic_video(args.vid_file)
+
+    cap = None
+    if args.vid_file.startswith("cam:"):
+        import cv2
+
+        cap = cv2.VideoCapture(int(args.vid_file.split(":", 1)[1]))
+        if not cap.isOpened():
+            sys.exit(f"cannot open webcam {args.vid_file!r}")
+        fps_in = cap.get(cv2.CAP_PROP_FPS) or 30.0
+
+        def frames_iter():
+            while True:
+                ok, bgr = cap.read()
+                if not ok:
+                    return
+                yield cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+    else:
+        if not osp.isfile(args.vid_file):
+            sys.exit(f"input video {args.vid_file!r} does not exist!")
+        fps_in = D.video_fps(args.vid_file)
+
+        def frames_iter():
+            return D.read_video_frames(args.vid_file)
+
+    (smpl, faces, mcfg, vcfg, tepose_params, vibe_params,
+     backbone_params) = build_demo_models(args)
+    session = LiveSession(smpl, tepose_params, vibe_params, mcfg, vcfg,
+                          n_streams=1, backbone_params=backbone_params,
+                          outputs=("theta", "verts", "kp_3d"))
+    tracker = CausalPersonTracker(bootstrap=args.live_bootstrap)
+
+    display = args.display
+    if display:
+        import cv2
+
+        try:
+            cv2.namedWindow("TePose live", cv2.WINDOW_NORMAL)
+        except cv2.error as e:
+            print(f"--display unavailable (headless environment?): {e}")
+            display = False
+
+    base = osp.splitext(osp.basename(args.vid_file.replace("cam:", "cam")))[0]
+    out_path = osp.join(args.output_folder, f"tepose_{base}_live_result.mp4")
+
+    pending = collections.deque()
+    lat_ms = []
+    # result rows are only kept when they will be saved — a webcam session
+    # must not grow its memory with stream length (verts alone are ~83 KB a
+    # frame); the rendered video streams through an incremental writer too.
+    rows = ({k: [] for k in ("theta", "verts", "joints3d", "orig_cam",
+                             "bboxes", "valid")}
+            if args.save_pkl else None)
+    writer_box = {"w": None}
+    stop = {"flag": False}
+
+    def process(img, box):
+        nonlocal display
+        crop = crop_normalize(img, box[None], out_size=crop_size,
+                              normalize=False)
+        t0 = time.perf_counter()
+        out = session.push(crop)
+        lat_ms.append((time.perf_counter() - t0) * 1e3)
+        theta = out["theta"][0]
+        bbox_ch = np.array([[box[0], box[1], box[2] * 1.2]], np.float32)
+        orig_cam = D.convert_crop_cam_to_orig_img(
+            theta[None, :3], bbox_ch, img.shape[1], img.shape[0])[0]
+        if rows is not None:
+            rows["theta"].append(theta)
+            rows["verts"].append(out["verts"][0])
+            rows["joints3d"].append(out["kp_3d"][0])
+            rows["orig_cam"].append(orig_cam)
+            rows["bboxes"].append(bbox_ch[0])
+            rows["valid"].append(bool(out["valid"]))
+        rendered = render_mesh(out["verts"][0], faces, orig_cam, img.copy())
+        if writer_box["w"] is None:
+            writer_box["w"] = D.StreamingVideoWriter(
+                out_path, rendered.shape[1], rendered.shape[0], fps_in)
+        writer_box["w"].write(rendered)
+        if display:
+            import cv2
+
+            cv2.imshow("TePose live",
+                       cv2.cvtColor(rendered, cv2.COLOR_RGB2BGR))
+            if cv2.waitKey(1) & 0xFF == ord("q"):
+                stop["flag"] = True  # q = end the session, not just the view
+                display = False
+                cv2.destroyAllWindows()
+
+    n_in = 0
+    wall0 = time.time()
+    try:
+        # Ctrl-C on an endless webcam stream is the normal way out: finalize
+        # (video close, pkl, latency report) instead of discarding the run.
+        try:
+            for frame in frames_iter():
+                if stop["flag"] or (args.live_max_frames
+                                    and n_in >= args.live_max_frames):
+                    break
+                n_in += 1
+                pending.append(frame)
+                for box in tracker.update(frame):
+                    process(pending.popleft(), box)
+            if not stop["flag"]:
+                for box in tracker.flush():  # stream shorter than bootstrap
+                    process(pending.popleft(), box)
+        except KeyboardInterrupt:
+            print("\ninterrupted — finalizing live session")
+    finally:
+        if cap is not None:
+            cap.release()
+        if writer_box["w"] is not None:
+            writer_box["w"].close()
+    wall = time.time() - wall0
+    if display:
+        import cv2
+
+        cv2.destroyAllWindows()
+    n_out = writer_box["w"].n if writer_box["w"] is not None else 0
+    if not n_out:
+        sys.exit("live mode produced no frames (empty input?)")
+
+    if rows is not None:
+        import joblib
+
+        pkl_path = osp.join(args.output_folder,
+                            f"tepose_{base}_live_output.pkl")
+        joblib.dump({0: {k: np.asarray(v) for k, v in rows.items()}},
+                    pkl_path)
+        print(f"Saved results to {pkl_path}")
+
+    lat = np.asarray(lat_ms[1:] or lat_ms)  # drop the compile-bearing step
+    print(f"Live frames: {n_out} (bootstrap delay "
+          f"{min(args.live_bootstrap, n_in)} frames)")
+    print(f"Per-frame latency ms: p50 {np.percentile(lat, 50):.1f} "
+          f"p95 {np.percentile(lat, 95):.1f} (first step excl.: compile)")
+    print(f"Aggregate FPS incl. decode/detect/render: "
+          f"{n_out / max(wall, 1e-9):.2f}")
+    print(f"Saved result video to {osp.abspath(out_path)}")
+    return {"frames": n_out, "lat_ms_p50":
+            float(np.percentile(lat, 50)), "out_path": out_path}
+
+
+def main():
+    args = parse_args()
+
+    import jax
+
     from tepose_tpu.native import crop_normalize, render_mesh
     from tepose_tpu.ops.filters import smooth_pose_params
     from tepose_tpu.streaming import demo_utils as D
     from tepose_tpu.streaming.engine import StreamingEngine
     from tepose_tpu.streaming.tracker import (
         detect_people_simple, load_detections_npz, load_pose_tracklets)
-    from tepose_tpu.train.checkpoint import load_checkpoint
+
+    if args.live:
+        return run_live(args)
 
     total_time_start = time.time()
     from tepose_tpu.utils.profiling import StageTimer
@@ -187,41 +415,8 @@ def main():
     print(f"Tracking yielded {len(tracklets)} tracklet(s)")
 
     # ---- models ------------------------------------------------------------
-    mcfg = TePoseConfig(seqlen=6, n_layers=2, hidden_size=1024)
-    vcfg = VibeConfig(seqlen=16, n_layers=2, hidden_size=1024,
-                      add_linear=True)
-    smpl_npz = osp.join(BASE_DATA_DIR, f"smpl_{args.gender}.npz")
-    if osp.isfile(smpl_npz):
-        smpl = load_smpl_assets(smpl_npz)
-        faces = load_smpl_faces(smpl_npz)
-    elif args.synthetic:
-        smpl = synthetic_smpl_model(seed=0)
-        # icosphere-ish random faces are useless; build a coarse convex hull
-        from scipy.spatial import ConvexHull
-
-        pts = np.asarray(smpl.v_template)
-        faces = ConvexHull(pts).simplices.astype(np.int32)
-    else:
-        sys.exit(f"{smpl_npz} missing — convert your SMPL model with "
-                 "tools/convert_smpl.py (or --synthetic to smoke-run)")
-
-    cpu = jax.local_devices(backend="cpu")[0]
-    if args.synthetic or not osp.isfile(args.model):
-        if not args.synthetic:
-            sys.exit(f"{args.model} is not a pretrained model!")
-        with jax.default_device(cpu):
-            tepose_params = tepose_init(jax.random.PRNGKey(0), mcfg)
-            vibe_params = vibe_init(jax.random.PRNGKey(1), vcfg)
-            backbone_params = resnet50_init(jax.random.PRNGKey(2))
-    else:
-        tepose_params = load_checkpoint(args.model)[0]["gen"]
-        spin_npz = osp.join(BASE_DATA_DIR, "spin_model_checkpoint.npz")
-        vibe_npz = osp.join(BASE_DATA_DIR, "vibe_wo_3dpw.npz")
-        for pth in (spin_npz, vibe_npz):
-            if not osp.isfile(pth):
-                sys.exit(f"{pth} missing — run tools/convert_checkpoint.py")
-        backbone_params = load_checkpoint(spin_npz)[0]["backbone"]
-        vibe_params = load_checkpoint(vibe_npz)[0]["gen"]
+    (smpl, faces, mcfg, vcfg, tepose_params, vibe_params,
+     backbone_params) = build_demo_models(args)
 
     import jax.numpy as _jnp
 

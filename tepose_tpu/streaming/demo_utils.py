@@ -69,6 +69,56 @@ def write_video(frames: List[np.ndarray], out_path: str,
             check=True, capture_output=True)
 
 
+class StreamingVideoWriter:
+    """Incremental mp4 writer for unbounded live streams.
+
+    `write_video` buffers a whole frame list — fine offline, unbounded RAM
+    for a webcam session. This appends frame-by-frame (cv2 VideoWriter; on
+    open failure, a PNG spool dir encoded by ffmpeg at close)."""
+
+    def __init__(self, out_path: str, width: int, height: int,
+                 fps: float = 30.0):
+        import cv2
+
+        os.makedirs(osp.dirname(out_path) or ".", exist_ok=True)
+        self.out_path = out_path
+        self.fps = fps
+        self.n = 0
+        self._spool = None
+        self._writer = cv2.VideoWriter(
+            out_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (width, height))
+        if not self._writer.isOpened():
+            import tempfile
+
+            self._writer = None
+            self._spool = tempfile.mkdtemp(prefix="tepose_live_")
+
+    def write(self, frame: np.ndarray) -> None:
+        import cv2
+
+        bgr = cv2.cvtColor(frame, cv2.COLOR_RGB2BGR)
+        if self._writer is not None:
+            self._writer.write(bgr)
+        else:
+            cv2.imwrite(osp.join(self._spool, f"{self.n:06d}.png"), bgr)
+        self.n += 1
+
+    def close(self) -> None:
+        import shutil
+
+        if self._writer is not None:
+            self._writer.release()
+            self._writer = None
+        elif self._spool is not None:
+            subprocess.run(
+                ["ffmpeg", "-y", "-framerate", str(self.fps), "-i",
+                 osp.join(self._spool, "%06d.png"), "-pix_fmt", "yuv420p",
+                 self.out_path],
+                check=True, capture_output=True)
+            shutil.rmtree(self._spool, ignore_errors=True)
+            self._spool = None
+
+
 def convert_crop_cam_to_orig_img(cam: np.ndarray, bbox: np.ndarray,
                                  img_width: int,
                                  img_height: int) -> np.ndarray:

@@ -15,6 +15,9 @@ pip packages, demo.py:34,87-100; OpenPose STAF binary, pose_tracker.py):
     person) so the demo runs without any external detector; precomputed
     detections (e.g. from any off-the-shelf detector) can be passed in via
     --detections <npz>.
+  * `CausalPersonTracker` — strictly causal single-person tracker for the
+    `demo.py --live` frame-at-a-time path (bootstrap background build, then
+    per-frame diff + IoU follow).
   * `load_pose_tracklets` — parse OpenPose-style keypoint JSONs into
     tracklets (the `--tracking_method pose` path, ref: pose_tracker.py:52-99).
 """
@@ -138,6 +141,8 @@ def detect_people_motion(
     work_width: int = 320,
     iou_thresh: float = 0.2,
     max_missed: int = 15,
+    grays: Optional[np.ndarray] = None,
+    bg: Optional[np.ndarray] = None,
 ) -> Dict[int, Dict]:
     """In-repo multi-person proposal detector: median-background subtraction
     + connected components + IoU tracking. No external model needed.
@@ -148,6 +153,10 @@ def detect_people_motion(
     `IoUTracker`. Returns the same {id: {"bbox": (T,4) cx,cy,w,h,
     "frames": (T,)}} format. Empty dict when nothing moves (callers fall back
     to `detect_people_simple`).
+
+    `grays`/`bg` are a fast path for callers (CausalPersonTracker's
+    bootstrap) that already hold the work-scale float32 grayscale frames
+    and/or median background — skips recomputing them here.
     """
     import cv2
 
@@ -161,18 +170,21 @@ def detect_people_motion(
         g = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
         return cv2.resize(g, wh, interpolation=cv2.INTER_AREA)
 
-    idxs = np.linspace(0, len(frames) - 1,
-                       min(bg_samples, len(frames))).astype(int)
-    bg = np.median(
-        np.stack([small_gray(frames[i]) for i in idxs]).astype(np.float32),
-        axis=0)
+    def gray_at(i):
+        return (grays[i] if grays is not None
+                else small_gray(frames[i]).astype(np.float32))
+
+    if bg is None:
+        idxs = np.linspace(0, len(frames) - 1,
+                           min(bg_samples, len(frames))).astype(int)
+        bg = np.median(np.stack([gray_at(i) for i in idxs]), axis=0)
 
     kernel = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (7, 7))
     min_area = min_area_frac * wh[0] * wh[1]
     tracker = IoUTracker(iou_thresh=iou_thresh, max_missed=max_missed)
 
-    for f, frame in enumerate(frames):
-        diff = np.abs(small_gray(frame).astype(np.float32) - bg)
+    for f in range(len(frames)):
+        diff = np.abs(gray_at(f) - bg)
         # adaptive threshold: robust to global lighting/noise levels
         thr = max(18.0, float(diff.mean() + 2.5 * diff.std()))
         mask = (diff > thr).astype(np.uint8) * 255
@@ -429,6 +441,123 @@ def detect_people_auto(frames: List[np.ndarray],
               and float(np.median(per_frame)) > pan_thresh_px)
     det = detect_people_stabilized if moving else detect_people_motion
     return det(frames, **kw)
+
+
+class CausalPersonTracker:
+    """Frame-at-a-time single-person box tracker for the live demo path.
+
+    The offline detectors need the whole clip (their median background is
+    built from frames sampled across the video); a live source only has the
+    past. This tracker is strictly causal:
+
+      * bootstrap — the first `bootstrap` frames are buffered; on the last
+        one a median background is frozen and `detect_people_motion` runs
+        over the buffer. `update()` then returns one box per buffered frame
+        (the dominant tracklet, gap-filled), so the caller can drain its
+        frame queue. A live system pays this once as startup delay.
+      * steady state — each new frame diffs against the (slowly adapted)
+        background; candidates come from the same morphology/connected-
+        components machinery; the candidate with best IoU against the
+        current box wins and is EMA-smoothed. When nothing is found the
+        previous box carries over (person standing still == no foreground).
+
+    Static-camera scope like `detect_people_motion` — live sources (webcams,
+    fixed installs) are overwhelmingly static-camera; moving-camera *files*
+    should use the offline `--detector stabilized` path. TPU-new capability:
+    the reference has no live mode at all (its demo batches whole tracklets,
+    ref: demo.py:171-252).
+    """
+
+    def __init__(self, bootstrap: int = 25, work_width: int = 320,
+                 min_area_frac: float = 0.003, ema: float = 0.5,
+                 bg_alpha: float = 0.02, iou_keep: float = 0.05):
+        import cv2
+
+        self.bootstrap = max(2, int(bootstrap))
+        self.work_width = work_width
+        self.min_area_frac = min_area_frac
+        self.ema = float(ema)
+        self.bg_alpha = float(bg_alpha)
+        self.iou_keep = float(iou_keep)
+        self._buf: List[np.ndarray] = []
+        self._bg: Optional[np.ndarray] = None
+        self._box: Optional[np.ndarray] = None
+        self._wh = None
+        self._scale = None
+        self._full = None
+        self._kernel = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (7, 7))
+
+    def _small_gray(self, img: np.ndarray) -> np.ndarray:
+        import cv2
+
+        g = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+        return cv2.resize(g, self._wh,
+                          interpolation=cv2.INTER_AREA).astype(np.float32)
+
+    def update(self, frame: np.ndarray) -> np.ndarray:
+        """Feed one RGB frame; returns (k, 4) (cx, cy, side, side) boxes for
+        the k oldest frames not yet boxed — k=0 while bootstrapping, k=
+        `bootstrap` on the frame completing it, k=1 afterwards."""
+        if self._wh is None:
+            h, w = frame.shape[:2]
+            self._scale = self.work_width / float(w)
+            self._wh = (self.work_width, max(1, int(round(h * self._scale))))
+            side = min(h, w) * 0.95
+            self._full = np.array([w / 2, h / 2, side, side], np.float32)
+        if self._bg is None:
+            self._buf.append(frame)
+            if len(self._buf) < self.bootstrap:
+                return np.zeros((0, 4), np.float32)
+            return self._finish_bootstrap()
+        return self._step(frame)[None]
+
+    def flush(self) -> np.ndarray:
+        """End-of-stream: if still bootstrapping, detect on whatever arrived
+        and return those boxes (k = frames buffered so far)."""
+        if self._bg is None and self._buf:
+            return self._finish_bootstrap()
+        return np.zeros((0, 4), np.float32)
+
+    def _finish_bootstrap(self) -> np.ndarray:
+        grays = np.stack([self._small_gray(f) for f in self._buf])
+        self._bg = np.median(grays, axis=0)
+        tracklets = detect_people_motion(
+            self._buf, min_area_frac=self.min_area_frac,
+            work_width=self.work_width, grays=grays, bg=self._bg)
+        boxes = np.tile(self._full, (len(self._buf), 1))
+        if tracklets:
+            tid = max(tracklets,
+                      key=lambda k: (len(tracklets[k]["frames"]),
+                                     float(tracklets[k]["bbox"][:, 2].max())))
+            tr = tracklets[tid]
+            for i in range(len(self._buf)):  # nearest-detection gap fill
+                j = int(np.argmin(np.abs(tr["frames"] - i)))
+                boxes[i] = tr["bbox"][j]
+        self._box = boxes[-1].copy()
+        self._buf = []
+        return boxes.astype(np.float32)
+
+    def _step(self, frame: np.ndarray) -> np.ndarray:
+        g = self._small_gray(frame)
+        diff = np.abs(g - self._bg)
+        thr = max(18.0, float(diff.mean() + 2.5 * diff.std()))
+        mask = (diff > thr).astype(np.uint8) * 255
+        min_area = self.min_area_frac * self._wh[0] * self._wh[1]
+        cands = _boxes_from_mask(mask, self._scale, min_area, self._kernel,
+                                 max_people=8)
+        best = None
+        if len(cands):
+            ious = [iou_xywh(self._box, c) for c in cands]
+            bi = int(np.argmax(ious))
+            if ious[bi] >= self.iou_keep:
+                best = cands[bi]
+        if best is not None:
+            self._box = self.ema * self._box + (1.0 - self.ema) * best
+        # adapt the background where nothing moved (lighting drift); the
+        # person's own pixels stay out so they can't burn into the model
+        quiet = diff <= thr
+        self._bg[quiet] += self.bg_alpha * (g[quiet] - self._bg[quiet])
+        return self._box.astype(np.float32).copy()
 
 
 def run_staf(video_file: str, output_folder: str, staf_dir: str,
