@@ -78,9 +78,20 @@ def _setup():
     return cfg, smpl, params, packer, flats
 
 
+_RAMPED = {"done": False}
+
+
 def _time_stream(stream, flats, feats, theta0, windows, reps=5):
     thetas = stream(flats, feats, theta0)  # warmup/compile
     np.asarray(thetas)  # np readback is the only true barrier on this link
+    if not _RAMPED["done"]:
+        # device/link ramp: the FIRST timed loop of a fresh process runs
+        # ~2.8x slow regardless of program or precision (measured 89.5k vs
+        # 251k windows/s on identical back-to-back calls) — burn it once so
+        # the first measured figure (the plain scan) isn't depressed.
+        for _ in range(4):
+            np.asarray(stream(flats, feats, theta0)[-1, 0, :1])
+        _RAMPED["done"] = True
     t0 = time.time()
     for _ in range(reps):
         thetas = stream(flats, feats, theta0)
@@ -140,7 +151,21 @@ def measure_window_scans(cfg, smpl, packer, flats):
 
     strict = _time_stream(stream_fast_strict, flats, feats, theta0, W,
                           reps=3)
-    return plain, fast, strict
+
+    # evaluate.py's default tier: tensorfloat32 (3-pass bf16) — meets the
+    # 0.1 mm north-star bar with ~70x margin (tools/precision_sweep.json)
+    # at a fraction of strict f32's cost.
+    @jax.jit
+    def stream_fast_tf32(flats, feats, theta_buf):
+        with jax.default_matmul_precision("tensorfloat32"):
+            params, smpl_t = packer.unpack(flats)
+            model = unpack_smpl(smpl, smpl_t)
+            out = fast_stream_scan(params, model, feats, theta_buf, cfg, W,
+                                   outputs=("theta",))
+            return jnp.swapaxes(out["theta"], 0, 1)
+
+    tf32 = _time_stream(stream_fast_tf32, flats, feats, theta0, W, reps=3)
+    return plain, fast, strict, tf32
 
 
 def measure_end_to_end(cfg, smpl, params, n_streams=8, frames=120):
@@ -373,7 +398,7 @@ def main() -> None:
 
     ctx = trace(profile_dir) if profile_dir else contextlib.nullcontext()
     with ctx:
-        plain_fps, fast_fps, strict_fps = measure_window_scans(
+        plain_fps, fast_fps, strict_fps, tf32_fps = measure_window_scans(
             cfg, smpl, packer, flats)
         e2e = measure_end_to_end(cfg, smpl, params)
         train = measure_training()
@@ -411,10 +436,14 @@ def main() -> None:
             "windows_scan_mfu": (round(scan_mfu, 4)
                                  if scan_mfu is not None else None),
             "windows_scan_strict_f32_fps": round(strict_fps, 1),
-            "strict_f32_note": "fast scan traced under jax.default_matmul_"
-                               "precision('float32') — evaluate.py's "
-                               "strict-parity default; the headline uses "
-                               "the TPU's fast bf16-pass mode",
+            "windows_scan_tf32_fps": round(tf32_fps, 1),
+            "precision_note": "evaluate.py defaults to tensorfloat32 "
+                              "(3-pass matmuls: 0.0014 mm joint deviation "
+                              "vs f64, 70x inside the 0.1 mm bar — "
+                              "tools/precision_sweep.json); float32 = "
+                              "6-pass strict-parity opt-in; the headline "
+                              "scan uses the fast single-pass bf16 mode "
+                              "(demo/serving)",
             "end_to_end_crops_to_verts_fps": round(e2e["full_fps"], 1),
             "end_to_end_f16_outputs_fps": round(e2e["f16_fps"], 1),
             "end_to_end_joints_only_f16_fps": round(e2e["joints_fps"], 1),

@@ -13,7 +13,11 @@ Differences from the reference, by design (TPU-first):
   * checkpoints are converted `.npz` files (tools/convert_checkpoint.py);
   * --render / --render_plain use the built-in native rasterizer (no
     pyrender/EGL); frames whose source images are missing on disk render on
-    a plain background.
+    a plain background;
+  * matmuls default to the tensorfloat32 tier (3-pass): measured 70x inside
+    the 0.1 mm parity bar at 1.77x strict-f32 throughput — see
+    `precision_scope` and tools/precision_sweep.json; `--precision float32`
+    forces full-precision passes for exact-parity runs.
 """
 
 import argparse
@@ -365,6 +369,34 @@ def _render_eval_video(dataset, seq_name, d, pred_theta, smpl, args,
     print(f"Saving result video to {osp.abspath(out_path)}")
 
 
+def precision_scope(name: str):
+    """Matmul-precision tier for eval, evidence in tools/precision_sweep.json
+    (measured on v5e vs an f64 oracle over a 61-window feedback rollout):
+
+      * tensorfloat32 (default) — 3-pass bf16 matmuls: max joint deviation
+        0.0014 mm / MPVPE 0.023 mm, 70x inside the 0.1 mm north-star bar
+        (BASELINE.md), at 1.77x the strict-f32 throughput.
+      * float32 / highest — 6-pass full-precision: exact-parity runs
+        (deviation ~1e-5 mm).
+      * bfloat16 / default / fast — single-pass MXU mode: FAILS the bar
+        (0.15 mm joints / 1.5 mm MPVPE after feedback compounding); it is
+        the demo/serving mode, not an eval mode.
+    """
+    import contextlib
+
+    import jax
+
+    if name in ("float32", "highest"):
+        return jax.default_matmul_precision("float32")
+    if name in ("tensorfloat32", "tf32", "high"):
+        return jax.default_matmul_precision("tensorfloat32")
+    if name in ("bfloat16", "default", "fast"):
+        return contextlib.nullcontext()
+    raise SystemExit(
+        f"unknown --precision {name!r}: choose tensorfloat32 (default), "
+        "float32, or bfloat16")
+
+
 def main():
     import jax
 
@@ -373,7 +405,7 @@ def main():
     synthetic = "--synthetic" in sys.argv
     if synthetic:
         sys.argv.remove("--synthetic")
-    precision = "float32"
+    precision = "tensorfloat32"
     if "--precision" in sys.argv:
         i = sys.argv.index("--precision")
         precision = sys.argv[i + 1]
@@ -385,13 +417,8 @@ def main():
         del sys.argv[i:i + 2]
         devices = len(jax.devices()) if devices == "auto" else int(devices)
     cfg, cfg_file, args = parse_args()
-    if precision in ("float32", "highest"):
-        # strict-parity mode: f32 matmuls use full-precision passes (the TPU
-        # default is the fast bf16-pass mode, ~4x faster but ~1e-3 relative
-        # error — fine for training, borderline for 0.1mm metric parity)
-        with jax.default_matmul_precision("float32"):
-            return run_eval(cfg, args, synthetic=synthetic, devices=devices)
-    return run_eval(cfg, args, synthetic=synthetic, devices=devices)
+    with precision_scope(precision):
+        return run_eval(cfg, args, synthetic=synthetic, devices=devices)
 
 
 if __name__ == "__main__":

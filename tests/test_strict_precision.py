@@ -1,8 +1,12 @@
 """Strict-parity eval mode: under `--precision float32`
-(jax.default_matmul_precision("float32"), evaluate.py:331-336) the whole
+(jax.default_matmul_precision("float32"), evaluate.precision_scope) the whole
 theta-feedback eval pipeline must sit within the 0.1 mm north-star tolerance
 of true (float64) arithmetic — so the claim survives the TPU's bf16-matmul
-default, which the flag disables. ref: BASELINE.md "numerical parity"."""
+default, which the flag disables. ref: BASELINE.md "numerical parity".
+(The shipped evaluate.py default is the tensorfloat32 tier; its on-chip
+deviation vs f64 is measured in tools/precision_sweep.json — matmul tiers
+are no-ops on the CPU backend these unit tests run on, so the tf32 claim is
+pinned by that committed artifact rather than here.)"""
 
 import numpy as np
 

@@ -70,3 +70,34 @@ def test_average_meter():
     m.update(2.0, n=2)
     m.update(4.0)
     assert abs(m.avg - (2 * 2 + 4) / 3) < 1e-9
+
+
+def test_eval_precision_scope_mapping():
+    """evaluate.py --precision tier selection: tensorfloat32 default (meets
+    the 0.1 mm bar per tools/precision_sweep.json), float32 strict opt-in,
+    bfloat16 passthrough, unknown names rejected."""
+    import contextlib
+
+    import pytest
+
+    import evaluate
+
+    # jax.default_matmul_precision returns a context manager bound to the
+    # requested tier; its repr/attrs differ across jax versions, so probe by
+    # entering and reading back the config value.
+    import jax
+
+    for name, expect in (("tensorfloat32", "tensorfloat32"),
+                         ("tf32", "tensorfloat32"),
+                         ("high", "tensorfloat32"),
+                         ("float32", "float32"),
+                         ("highest", "float32")):
+        with evaluate.precision_scope(name):
+            assert jax.config.jax_default_matmul_precision == expect, name
+
+    assert isinstance(evaluate.precision_scope("bfloat16"),
+                      contextlib.nullcontext)
+    assert isinstance(evaluate.precision_scope("fast"),
+                      contextlib.nullcontext)
+    with pytest.raises(SystemExit):
+        evaluate.precision_scope("float16")
