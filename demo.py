@@ -103,6 +103,11 @@ def parse_args():
     p.add_argument("--live_max_frames", type=int, default=0,
                    help="stop the live loop after N frames (0 = all; "
                         "useful for webcams)")
+    p.add_argument("--live_streams", type=int, default=1,
+                   help="live mode person slots: N>1 follows up to N people "
+                        "concurrently (stable slots; a slot whose person "
+                        "leaves is re-seeded by the next newcomer and its "
+                        "stream state reset)")
     return p.parse_args()
 
 
@@ -184,9 +189,11 @@ def run_live(args, crop_size: int = 224):
     TPU-new capability: the reference's demo batches whole tracklets
     (ref: demo.py:171-252) and can only run offline; this path serves pose
     for frame t with T+1 = 6 frames of algorithmic latency (the paper's
-    headline argument, SURVEY §6) plus one device step. Single person,
-    static camera (webcams/fixed installs); `--vid_file cam:<N>` reads a
-    webcam. Prints per-frame latency percentiles at the end.
+    headline argument, SURVEY §6) plus one device step. Static camera
+    (webcams/fixed installs); `--vid_file cam:<N>` reads a webcam;
+    `--live_streams N` follows up to N people in stable slots (slot churn
+    resets the matching LiveSession stream). Prints per-frame latency
+    percentiles at the end.
     """
     import collections
 
@@ -225,10 +232,26 @@ def run_live(args, crop_size: int = 224):
 
     (smpl, faces, mcfg, vcfg, tepose_params, vibe_params,
      backbone_params) = build_demo_models(args)
+    K = max(1, int(args.live_streams))
     session = LiveSession(smpl, tepose_params, vibe_params, mcfg, vcfg,
-                          n_streams=1, backbone_params=backbone_params,
+                          n_streams=K, backbone_params=backbone_params,
                           outputs=("theta", "verts", "kp_3d"))
-    tracker = CausalPersonTracker(bootstrap=args.live_bootstrap)
+    if K > 1:
+        from tepose_tpu.streaming.tracker import CausalPeopleTracker
+
+        tracker = CausalPeopleTracker(slots=K,
+                                      bootstrap=args.live_bootstrap)
+        track_step, track_flush = tracker.update, tracker.flush
+    else:
+        tracker = CausalPersonTracker(bootstrap=args.live_bootstrap)
+
+        def _as_slots(b):  # (k,4) -> ((k,1,4), present, fresh)
+            k = len(b)
+            return (b.reshape(k, 1, 4), np.ones((k, 1), bool),
+                    np.zeros((k, 1), bool))
+
+        track_step = lambda frame: _as_slots(tracker.update(frame))
+        track_flush = lambda: _as_slots(tracker.flush())
 
     display = args.display
     if display:
@@ -248,31 +271,38 @@ def run_live(args, crop_size: int = 224):
     # result rows are only kept when they will be saved — a webcam session
     # must not grow its memory with stream length (verts alone are ~83 KB a
     # frame); the rendered video streams through an incremental writer too.
-    rows = ({k: [] for k in ("theta", "verts", "joints3d", "orig_cam",
-                             "bboxes", "valid")}
+    rows = ({s: {k: [] for k in ("theta", "verts", "joints3d", "orig_cam",
+                                 "bboxes", "valid", "present")}
+             for s in range(K)}
             if args.save_pkl else None)
     writer_box = {"w": None}
     stop = {"flag": False}
 
-    def process(img, box):
+    def process(img, boxes_s, present_s, fresh_s):
         nonlocal display
-        crop = crop_normalize(img, box[None], out_size=crop_size,
-                              normalize=False)
+        crops = crop_normalize(img, boxes_s, out_size=crop_size,
+                               normalize=False)              # (K, 3, S, S)
         t0 = time.perf_counter()
-        out = session.push(crop)
+        out = session.push(crops, reset=fresh_s if fresh_s.any() else None)
         lat_ms.append((time.perf_counter() - t0) * 1e3)
-        theta = out["theta"][0]
-        bbox_ch = np.array([[box[0], box[1], box[2] * 1.2]], np.float32)
+        bbox_ch = np.stack([boxes_s[:, 0], boxes_s[:, 1],
+                            boxes_s[:, 2] * 1.2], axis=1)    # (K, 3)
         orig_cam = D.convert_crop_cam_to_orig_img(
-            theta[None, :3], bbox_ch, img.shape[1], img.shape[0])[0]
-        if rows is not None:
-            rows["theta"].append(theta)
-            rows["verts"].append(out["verts"][0])
-            rows["joints3d"].append(out["kp_3d"][0])
-            rows["orig_cam"].append(orig_cam)
-            rows["bboxes"].append(bbox_ch[0])
-            rows["valid"].append(bool(out["valid"]))
-        rendered = render_mesh(out["verts"][0], faces, orig_cam, img.copy())
+            out["theta"][:, :3], bbox_ch, img.shape[1], img.shape[0])
+        rendered = img.copy()
+        for s in range(K):
+            if rows is not None:
+                r = rows[s]
+                r["theta"].append(out["theta"][s])
+                r["verts"].append(out["verts"][s])
+                r["joints3d"].append(out["kp_3d"][s])
+                r["orig_cam"].append(orig_cam[s])
+                r["bboxes"].append(bbox_ch[s])
+                r["valid"].append(bool(out["valid"][s]))
+                r["present"].append(bool(present_s[s]))
+            if present_s[s]:
+                rendered = render_mesh(out["verts"][s], faces, orig_cam[s],
+                                       rendered)
         if writer_box["w"] is None:
             writer_box["w"] = D.StreamingVideoWriter(
                 out_path, rendered.shape[1], rendered.shape[0], fps_in)
@@ -299,11 +329,13 @@ def run_live(args, crop_size: int = 224):
                     break
                 n_in += 1
                 pending.append(frame)
-                for box in tracker.update(frame):
-                    process(pending.popleft(), box)
+                bs, ps, fs = track_step(frame)
+                for i in range(len(bs)):
+                    process(pending.popleft(), bs[i], ps[i], fs[i])
             if not stop["flag"]:
-                for box in tracker.flush():  # stream shorter than bootstrap
-                    process(pending.popleft(), box)
+                bs, ps, fs = track_flush()  # stream shorter than bootstrap
+                for i in range(len(bs)):
+                    process(pending.popleft(), bs[i], ps[i], fs[i])
         except KeyboardInterrupt:
             print("\ninterrupted — finalizing live session")
     finally:
@@ -325,8 +357,8 @@ def run_live(args, crop_size: int = 224):
 
         pkl_path = osp.join(args.output_folder,
                             f"tepose_{base}_live_output.pkl")
-        joblib.dump({0: {k: np.asarray(v) for k, v in rows.items()}},
-                    pkl_path)
+        joblib.dump({s: {k: np.asarray(v) for k, v in r.items()}
+                     for s, r in rows.items()}, pkl_path)
         print(f"Saved results to {pkl_path}")
 
     lat = np.asarray(lat_ms[1:] or lat_ms)  # drop the compile-bearing step

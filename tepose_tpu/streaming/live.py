@@ -21,6 +21,7 @@ ref: demo.py:229-252 (the per-window loop this replaces), vibe.py:102-117.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -67,13 +68,20 @@ class LiveSession:
 
     push() accepts either per-stream features (B, 2048) or raw crops
     (B, 3, S, S) u8/f32 (with `backbone_params`), runs ONE jitted device
-    step, and returns {"valid": bool, **outputs} — `valid` is False while
-    the theta window is still filling (frames 0..S-2 return the causal
-    VIBE bootstrap predictions, exactly the offline engine's boot frames).
+    step, and returns {"valid": (B,) bool, **outputs} — `valid` is False
+    while that stream's theta window is still filling (frames 0..S-2
+    return the causal VIBE bootstrap predictions, exactly the offline
+    engine's boot frames).
 
-    All weights ride in one packed f32 buffer and the whole carry in one
-    more (+ an int32 frame counter), so a push costs 3 input buffers over
-    the dev tunnel; the carry is donated and never visits the host.
+    Streams are independent slots: push(..., reset=mask) re-seeds the
+    masked slots to fresh-session state before the frame, so a slot can be
+    handed to a new person mid-session (multi-person live with tracklet
+    churn); validity is tracked per stream on device.
+
+    All weights ride in one packed f32 buffer and the whole carry in two
+    (one f32 + one int32 for the per-stream ages), so a push costs 3 input
+    buffers over the dev tunnel (the rare reset push ships one extra bool
+    mask); the carry is donated and never visits the host.
     """
 
     def __init__(self, smpl: SmplModel, tepose_params: Dict,
@@ -118,21 +126,38 @@ class LiveSession:
             "vibe_h": np.zeros((vibe_cfg.n_layers, B, vh), np.float32),
             "proj_ring": np.zeros((B, S - 1, n_lanes, lane_dim), np.float32),
             "theta_ring": theta_ring0,
+            # per-stream frame count: validity is per stream so a slot can
+            # be reset mid-session (tracklet churn in multi-person live)
+            "age": np.zeros((B,), np.int32),
         }
         self._c_packer = FlatPacker(carry0)
         self._carry = tuple(jax.device_put(jnp.asarray(f))
                             for f in self._c_packer.pack_np(carry0))
-        self._t = jnp.zeros((), jnp.int32)
-        self._frames_seen = 0
+        theta_ring_init = jnp.asarray(theta_ring0)
 
         w_packer, c_packer = self._w_packer, self._c_packer
         smpl_t = smpl
         out_keys = self.outputs
         has_bb = backbone_params is not None
 
-        def one_step(w_flats, c_flats, t, x):
+        def one_step(w_flats, c_flats, x, reset):
             w = w_packer.unpack(w_flats)
             carry = c_packer.unpack(c_flats)
+            if reset is not None:
+                # re-seed the chosen streams to their fresh-session state
+                # BEFORE processing: a reset slot's first frame behaves
+                # exactly like frame 0 of a new session (pinned in
+                # tests/test_live.py::test_live_per_stream_reset)
+                carry = {
+                    "vibe_h": jnp.where(reset[None, :, None], 0.0,
+                                        carry["vibe_h"]),
+                    "proj_ring": jnp.where(reset[:, None, None, None], 0.0,
+                                           carry["proj_ring"]),
+                    "theta_ring": jnp.where(reset[:, None, None],
+                                            theta_ring_init,
+                                            carry["theta_ring"]),
+                    "age": jnp.where(reset, 0, carry["age"]),
+                }
             if has_bb and x.ndim == 4:
                 from tepose_tpu.models.backbone import resnet50_features
                 if x.dtype == jnp.uint8:
@@ -165,16 +190,16 @@ class LiveSession:
             feature = fast_encoder_window(w["fast"], proj_win, thetas)
             win_out = regressor_apply(w["reg"], smpl_t, feature)
 
-            live = t >= S - 1
+            live = carry["age"] >= S - 1  # per stream (B,)
             outs = {k: jnp.where(
-                jnp.reshape(live, (1,) * win_out[k].ndim),
+                live.reshape((B,) + (1,) * (win_out[k].ndim - 1)),
                 win_out[k], vibe_out[k]) for k in out_keys}
 
             # ring updates: the theta feedback only advances once the
             # window is live (before that the offline scan hasn't started
             # and the ring must keep holding the pseudo-thetas)
             new_theta_ring = jnp.where(
-                live,
+                live[:, None, None],
                 jnp.concatenate([carry["theta_ring"][:, 1:],
                                  win_out["theta"][:, None]], axis=1),
                 carry["theta_ring"])
@@ -183,24 +208,39 @@ class LiveSession:
                 "proj_ring": jnp.concatenate(
                     [carry["proj_ring"][:, 1:], proj[:, None]], axis=1),
                 "theta_ring": new_theta_ring,
+                "age": carry["age"] + 1,
             }
-            return c_packer.pack(new_carry), t + 1, outs
+            return c_packer.pack(new_carry), outs, live
 
-        self._step = jax.jit(one_step, donate_argnums=(1,))
+        # two jits so the common no-reset push ships no extra buffer over
+        # the link; the reset variant only runs on (rare) tracklet churn
+        self._step = jax.jit(
+            functools.partial(one_step, reset=None), donate_argnums=(1,))
+        self._step_reset = jax.jit(one_step, donate_argnums=(1,))
 
-    def push(self, x: np.ndarray) -> Dict[str, np.ndarray]:
+    def push(self, x: np.ndarray,
+             reset: Optional[np.ndarray] = None) -> Dict[str, np.ndarray]:
         """Feed one frame per stream; returns this frame's predictions.
 
         x: (B, 2048) features, or (B, 3, S, S) crops when the session was
-        built with backbone_params. `valid` False = theta window still
-        filling (outputs are the causal VIBE bootstrap for those frames).
+        built with backbone_params. `valid` is a per-stream (B,) bool:
+        False = that stream's theta window is still filling (outputs are
+        the causal VIBE bootstrap for those frames).
+
+        reset: optional (B,) bool — streams to re-seed to fresh-session
+        state BEFORE this frame (a new person entered the slot); their
+        current frame is processed as the new tracklet's frame 0.
         """
         if x.shape[0] != self.n_streams:
             raise ValueError(f"expected {self.n_streams} streams, "
                              f"got {x.shape[0]}")
-        self._carry, self._t, outs = self._step(
-            self._w_flats, self._carry, self._t, jnp.asarray(x))
+        if reset is not None and np.any(reset):
+            r = jnp.asarray(np.asarray(reset, bool))
+            self._carry, outs, live = self._step_reset(
+                self._w_flats, self._carry, jnp.asarray(x), r)
+        else:
+            self._carry, outs, live = self._step(
+                self._w_flats, self._carry, jnp.asarray(x))
         res = {k: np.asarray(v) for k, v in outs.items()}
-        res["valid"] = self._frames_seen >= self.model_cfg.seqlen - 1
-        self._frames_seen += 1
+        res["valid"] = np.asarray(live)
         return res

@@ -560,6 +560,212 @@ class CausalPersonTracker:
         return self._box.astype(np.float32).copy()
 
 
+class CausalPeopleTracker:
+    """Strictly causal K-slot multi-person tracker for `demo.py --live`.
+
+    Generalizes `CausalPersonTracker` to up to `slots` concurrent people in
+    STABLE slots (slot i keeps following the same person), sized to pair
+    with a `LiveSession(n_streams=slots)`: when a slot's track dies and a
+    new person re-seeds it, the step flags it `fresh` so the caller resets
+    the corresponding LiveSession stream (push(..., reset=fresh)).
+
+    update(frame) returns (boxes, present, fresh) for the k oldest frames
+    not yet boxed (k=0 while bootstrapping, k=bootstrap on the completing
+    frame, k=1 afterwards):
+      * boxes   (k, slots, 4) — (cx, cy, side, side); empty slots carry a
+        centered full-frame box (their stream output is masked by present)
+      * present (k, slots) bool — slot holds a person at that frame
+      * fresh   (k, slots) bool — slot was (re)seeded AT that frame: reset
+        its stream before pushing
+
+    Two departure-robustness rules on top of the single-person tracker:
+    a matched blob with no frame-to-frame motion for `static_absorb`
+    consecutive frames is a GHOST (a person baked into the bootstrap
+    median who has since left) and is absorbed into the background so the
+    track can actually die; and a slot that is already coasting
+    (missed > 0) needs `iou_reacquire` (not the loose `iou_keep`) to claim
+    a detection, so a stale slot cannot silently capture a newcomer —
+    the newcomer instead waits for the slot to free and re-seeds it fresh.
+    """
+
+    def __init__(self, slots: int = 2, bootstrap: int = 25,
+                 work_width: int = 320, min_area_frac: float = 0.003,
+                 ema: float = 0.5, bg_alpha: float = 0.02,
+                 iou_keep: float = 0.05, max_missed: int = 25,
+                 iou_reacquire: float = 0.25, static_absorb: int = 4,
+                 static_motion_eps: float = 4.0, static_frac: float = 0.02):
+        import cv2
+
+        self.slots = int(slots)
+        self.bootstrap = max(2, int(bootstrap))
+        self.work_width = work_width
+        self.min_area_frac = min_area_frac
+        self.ema = float(ema)
+        self.bg_alpha = float(bg_alpha)
+        self.iou_keep = float(iou_keep)
+        self.max_missed = int(max_missed)
+        self.iou_reacquire = float(iou_reacquire)
+        self.static_absorb = max(1, int(static_absorb))
+        self.static_motion_eps = float(static_motion_eps)
+        self.static_frac = float(static_frac)
+        self._buf: List[np.ndarray] = []
+        self._bg: Optional[np.ndarray] = None
+        self._boxes: Optional[np.ndarray] = None     # (slots, 4)
+        self._present: Optional[np.ndarray] = None   # (slots,) bool
+        self._missed: Optional[np.ndarray] = None    # (slots,) int
+        self._streak: Optional[np.ndarray] = None    # (slots,) static frames
+        self._prev_g: Optional[np.ndarray] = None
+        self._wh = None
+        self._scale = None
+        self._full = None
+        self._kernel = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (7, 7))
+
+    _small_gray = CausalPersonTracker._small_gray
+
+    def _init_geometry(self, frame):
+        h, w = frame.shape[:2]
+        self._scale = self.work_width / float(w)
+        self._wh = (self.work_width, max(1, int(round(h * self._scale))))
+        side = min(h, w) * 0.95
+        self._full = np.array([w / 2, h / 2, side, side], np.float32)
+
+    def update(self, frame: np.ndarray):
+        if self._wh is None:
+            self._init_geometry(frame)
+        if self._bg is None:
+            self._buf.append(frame)
+            if len(self._buf) < self.bootstrap:
+                return (np.zeros((0, self.slots, 4), np.float32),
+                        np.zeros((0, self.slots), bool),
+                        np.zeros((0, self.slots), bool))
+            return self._finish_bootstrap()
+        b, p, f = self._step(frame)
+        return b[None], p[None], f[None]
+
+    def flush(self):
+        """End-of-stream: drain a bootstrap that never completed."""
+        if self._bg is None and self._buf:
+            return self._finish_bootstrap()
+        return (np.zeros((0, self.slots, 4), np.float32),
+                np.zeros((0, self.slots), bool),
+                np.zeros((0, self.slots), bool))
+
+    def _finish_bootstrap(self):
+        K, n = self.slots, len(self._buf)
+        grays = np.stack([self._small_gray(f) for f in self._buf])
+        self._bg = np.median(grays, axis=0)
+        tracklets = detect_people_motion(
+            self._buf, min_area_frac=self.min_area_frac,
+            work_width=self.work_width, max_people=K + 4,
+            grays=grays, bg=self._bg)
+        ranked = sorted(tracklets.values(),
+                        key=lambda tr: (-len(tr["frames"]),
+                                        -float(tr["bbox"][:, 2].max())))[:K]
+        boxes = np.tile(self._full, (n, K, 1)).reshape(n, K, 4)
+        present = np.zeros((n, K), bool)
+        for s, tr in enumerate(ranked):
+            for i in range(n):  # nearest-detection gap fill per slot
+                j = int(np.argmin(np.abs(tr["frames"] - i)))
+                boxes[i, s] = tr["bbox"][j]
+            present[:, s] = True
+        self._boxes = boxes[-1].copy()
+        self._present = present[-1].copy()
+        self._missed = np.zeros((K,), np.int64)
+        self._streak = np.zeros((K,), np.int64)
+        self._prev_g = grays[-1]
+        self._buf = []
+        # streams are brand-new at the bootstrap drain: no resets needed
+        return (boxes.astype(np.float32), present,
+                np.zeros((n, K), bool))
+
+    def _motion_frac(self, fdiff, box):
+        """Fraction of a (full-coords cx,cy,side) box with frame motion."""
+        s = self._scale
+        cx, cy, side = box[0] * s, box[1] * s, box[2] * s
+        h, w = fdiff.shape
+        x0 = max(0, int(cx - side / 2)); x1 = min(w, int(cx + side / 2) + 1)
+        y0 = max(0, int(cy - side / 2)); y1 = min(h, int(cy + side / 2) + 1)
+        if x1 <= x0 or y1 <= y0:
+            return 1.0
+        patch = fdiff[y0:y1, x0:x1]
+        return float((patch > self.static_motion_eps).mean())
+
+    def _absorb(self, g, box):
+        """Write the current frame into the background inside `box`."""
+        s = self._scale
+        cx, cy, side = box[0] * s, box[1] * s, box[2] * s
+        h, w = g.shape
+        x0 = max(0, int(cx - side / 2)); x1 = min(w, int(cx + side / 2) + 1)
+        y0 = max(0, int(cy - side / 2)); y1 = min(h, int(cy + side / 2) + 1)
+        self._bg[y0:y1, x0:x1] = g[y0:y1, x0:x1]
+
+    def _step(self, frame):
+        K = self.slots
+        g = self._small_gray(frame)
+        fdiff = np.abs(g - self._prev_g)
+        self._prev_g = g
+        diff = np.abs(g - self._bg)
+        thr = max(18.0, float(diff.mean() + 2.5 * diff.std()))
+        mask = (diff > thr).astype(np.uint8) * 255
+        min_area = self.min_area_frac * self._wh[0] * self._wh[1]
+        cands = _boxes_from_mask(mask, self._scale, min_area, self._kernel,
+                                 max_people=K + 4)
+        fresh = np.zeros((K,), bool)
+        taken = np.zeros((len(cands),), bool)
+        # greedy: each occupied slot claims its best-IoU candidate.  A slot
+        # already coasting (missed > 0) must clear the stricter reacquire
+        # gate, so a stale box cannot capture a newly-arrived person.
+        for s in range(K):
+            if not self._present[s]:
+                continue
+            best, best_iou = None, (self.iou_keep if self._missed[s] == 0
+                                    else self.iou_reacquire)
+            for ci in range(len(cands)):
+                if taken[ci]:
+                    continue
+                i = iou_xywh(self._boxes[s], cands[ci])
+                if i > best_iou:
+                    best, best_iou = ci, i
+            if best is not None:
+                taken[best] = True
+                self._boxes[s] = (self.ema * self._boxes[s]
+                                  + (1.0 - self.ema) * cands[best])
+                self._missed[s] = 0
+                # ghost watch: a matched blob with ~zero frame-to-frame
+                # motion is a departed person baked into the bootstrap
+                # median.  After static_absorb such frames, fold the
+                # region into the background so the track can die.
+                if self._motion_frac(fdiff, cands[best]) < self.static_frac:
+                    self._streak[s] += 1
+                    if self._streak[s] >= self.static_absorb:
+                        self._absorb(g, cands[best])
+                        self._streak[s] = 0
+                else:
+                    self._streak[s] = 0
+            else:
+                self._missed[s] += 1  # person still: keep following the box
+                self._streak[s] = 0
+                if self._missed[s] > self.max_missed:
+                    self._present[s] = False  # track died, slot freed
+        # unmatched candidates (largest first) seed free slots
+        for ci in range(len(cands)):
+            if taken[ci]:
+                continue
+            free = np.flatnonzero(~self._present)
+            if not len(free):
+                break
+            s = int(free[0])
+            self._boxes[s] = cands[ci].copy()
+            self._present[s] = True
+            self._missed[s] = 0
+            fresh[s] = True
+        quiet = diff <= thr  # background adaptation, as the single tracker
+        self._bg[quiet] += self.bg_alpha * (g[quiet] - self._bg[quiet])
+        boxes = np.where(self._present[:, None], self._boxes,
+                         self._full[None]).astype(np.float32)
+        return boxes.copy(), self._present.copy(), fresh
+
+
 def run_staf(video_file: str, output_folder: str, staf_dir: str,
              vis: bool = False) -> Dict[int, Dict]:
     """Shell out to the OpenPose STAF binary, then parse its JSONs.

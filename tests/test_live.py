@@ -77,3 +77,46 @@ def test_live_session_rejects_bad_args():
     live = LiveSession(smpl, tp, vp, mcfg, vcfg, n_streams=2)
     with pytest.raises(ValueError, match="streams"):
         live.push(np.zeros((1, 2048), np.float32))
+
+
+def test_live_per_stream_reset(rng):
+    """push(reset=mask) must re-seed exactly the masked slot: from the reset
+    frame on, that stream's outputs equal a FRESH session fed only the new
+    tracklet, while the untouched stream continues its own rollout."""
+    smpl, mcfg, vcfg, tp, vp, _ = _models()
+    T = 14
+    a = rng.randn(T, 2048).astype(np.float32) * 0.1   # slot 0, uninterrupted
+    b1 = rng.randn(6, 2048).astype(np.float32) * 0.1  # slot 1, old person
+    b2 = rng.randn(T - 6, 2048).astype(np.float32) * 0.1  # slot 1, new person
+
+    live = LiveSession(smpl, tp, vp, mcfg, vcfg, n_streams=2,
+                       outputs=("theta", "kp_3d"))
+    got_a, got_b2, valid_b = [], [], []
+    for t in range(T):
+        xb = b1[t] if t < 6 else b2[t - 6]
+        reset = np.array([False, t == 6])
+        out = live.push(np.stack([a[t], xb]), reset=reset)
+        got_a.append(out["theta"][0])
+        valid_b.append(bool(out["valid"][1]))
+        if t >= 6:
+            got_b2.append(out["theta"][1])
+
+    # slot 1 restarted: validity refilled from the reset point
+    S = mcfg.seqlen
+    assert valid_b[6:6 + S - 1] == [False] * (S - 1)
+    assert all(valid_b[6 + S - 1:])
+
+    # slot 0 unaffected: equals a fresh single-stream rollout of `a`
+    solo = LiveSession(smpl, tp, vp, mcfg, vcfg, n_streams=1,
+                       outputs=("theta",))
+    for t in range(T):
+        np.testing.assert_allclose(got_a[t], solo.push(a[t:t + 1])["theta"][0],
+                                   rtol=2e-4, atol=2e-5, err_msg=f"t={t}")
+
+    # slot 1 after reset equals a fresh session fed only b2
+    fresh = LiveSession(smpl, tp, vp, mcfg, vcfg, n_streams=1,
+                        outputs=("theta",))
+    for i in range(T - 6):
+        np.testing.assert_allclose(
+            got_b2[i], fresh.push(b2[i:i + 1])["theta"][0],
+            rtol=2e-4, atol=2e-5, err_msg=f"reset frame {i}")

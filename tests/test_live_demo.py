@@ -108,3 +108,111 @@ def test_demo_live_end_to_end(tmp_path, monkeypatch):
     assert list(out["valid"][:5]) == [False] * 5
     assert out["valid"][5:].all()
     assert osp.isfile(osp.join(out_dir, "tepose_live_live_result.mp4"))
+
+
+def _two_person_churn_frames(n_frames=60, h=240, w=320, seed=0, leave_at=30):
+    """Two circles; the second leaves the scene at `leave_at` and a third
+    (different path) appears 6 frames later — exercising slot churn."""
+    import cv2
+
+    rs = np.random.RandomState(seed)
+    bg = rs.randint(30, 50, (h, w, 3)).astype(np.uint8)
+    frames, truth = [], []
+    for t in range(n_frames):
+        img = bg.copy()
+        x1 = int(w * 0.25 + 25 * np.sin(t / 9.0))
+        y1 = int(h * 0.45 + 10 * np.cos(t / 7.0))
+        cv2.circle(img, (x1, y1), 26, (220, 170, 60), -1)
+        p2 = None
+        if t < leave_at:
+            p2 = (int(w * 0.72 + 20 * np.sin(t / 6.0 + 1.5)),
+                  int(h * 0.55 + 12 * np.sin(t / 11.0)))
+        elif t >= leave_at + 6:
+            u = t - leave_at - 6
+            p2 = (int(w * 0.70 - 15 * np.sin(u / 5.0)),
+                  int(h * 0.30 + 10 * np.cos(u / 9.0)))
+        if p2 is not None:
+            cv2.circle(img, p2, 30, (60, 180, 220), -1)
+        frames.append(img)
+        truth.append(((x1, y1), p2))
+    return frames, truth
+
+
+def test_causal_people_tracker_two_slots_and_churn():
+    from tepose_tpu.streaming.tracker import CausalPeopleTracker
+
+    frames, truth = _two_person_churn_frames()
+    tracker = CausalPeopleTracker(slots=2, bootstrap=12, max_missed=8)
+    boxes, present, fresh = [], [], []
+    for f in frames:
+        b, p, fr = tracker.update(f)
+        boxes.extend(list(b))
+        present.extend(list(p))
+        fresh.extend(list(fr))
+    assert len(boxes) == len(frames)
+    boxes, present = np.stack(boxes), np.stack(present)
+    fresh = np.stack(fresh)
+
+    # both slots occupied while both people are on screen
+    assert present[12:28].all(), present[12:28]
+    # some slot was re-seeded after the churn window (person 2 left at 30,
+    # newcomer at 36) — the fresh flag must fire exactly then, not before
+    assert not fresh[:30].any()
+    assert fresh[34:50].any(), "newcomer never re-seeded a slot"
+
+    # slot stability: slot following person 1 tracks them throughout
+    errs1 = [min(np.hypot(boxes[t, s, 0] - truth[t][0][0],
+                          boxes[t, s, 1] - truth[t][0][1])
+                 for s in range(2))
+             for t in range(12, len(frames))]
+    assert np.median(errs1) < 30, np.median(errs1)
+
+
+def test_demo_live_two_streams_end_to_end(tmp_path, monkeypatch):
+    """demo.py --live --live_streams 2 on a two-person clip with churn:
+    per-slot pickle rows stay frame-aligned, presence tracks the scene, and
+    the re-seeded slot's validity refills after the reset."""
+    import cv2
+    import joblib
+
+    import demo as demo_cli
+    import tepose_tpu.models.smpl as smpl_mod
+    import tepose_tpu.models.tepose as tepose_mod
+
+    orig_smpl = smpl_mod.synthetic_smpl_model
+    monkeypatch.setattr(
+        smpl_mod, "synthetic_smpl_model",
+        lambda seed=0, num_verts=6890: orig_smpl(seed=seed, num_verts=64))
+    OrigT, OrigV = tepose_mod.TePoseConfig, tepose_mod.VibeConfig
+    monkeypatch.setattr(
+        tepose_mod, "TePoseConfig",
+        lambda **kw: OrigT(**{**kw, "n_layers": 1, "hidden_size": 16}))
+    monkeypatch.setattr(
+        tepose_mod, "VibeConfig",
+        lambda **kw: OrigV(**{**kw, "n_layers": 1, "hidden_size": 16}))
+
+    frames, _ = _two_person_churn_frames(n_frames=48)
+    vid = str(tmp_path / "duo.mp4")
+    wr = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 25,
+                         (frames[0].shape[1], frames[0].shape[0]))
+    for f in frames:
+        wr.write(f)
+    wr.release()
+
+    out_dir = str(tmp_path / "out")
+    monkeypatch.setattr(sys, "argv", [
+        "demo.py", "--live", "--live_streams", "2", "--vid_file", vid,
+        "--output_folder", out_dir, "--synthetic", "--save_pkl",
+        "--live_bootstrap", "12"])
+    args = demo_cli.parse_args()
+    res = demo_cli.run_live(args, crop_size=64)
+    assert res["frames"] == 48
+
+    out = joblib.load(osp.join(out_dir, "tepose_duo_live_output.pkl"))
+    assert set(out.keys()) == {0, 1}
+    for s in (0, 1):
+        assert out[s]["theta"].shape == (48, 85)
+        assert out[s]["present"].shape == (48,)
+    # both slots present while both people are on screen
+    both = out[0]["present"][12:28] & out[1]["present"][12:28]
+    assert both.all()
