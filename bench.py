@@ -125,46 +125,35 @@ def measure_window_scans(cfg, smpl, packer, flats):
         _, thetas = jax.lax.scan(step, theta_buf, jnp.arange(W))
         return thetas
 
-    @jax.jit
-    def stream_fast(flats, feats, theta_buf):
-        params, smpl_t = packer.unpack(flats)
-        model = unpack_smpl(smpl, smpl_t)
-        out = fast_stream_scan(params, model, feats, theta_buf, cfg, W,
-                               outputs=("theta",))
-        return jnp.swapaxes(out["theta"], 0, 1)  # (W, B, 85) like plain
+    def make_fast(matmul_precision):
+        """Fast scan jitted under a matmul tier — the precision context must
+        wrap the TRACE so it is baked into the compiled program."""
+        import contextlib
+
+        ctx = (jax.default_matmul_precision(matmul_precision)
+               if matmul_precision else contextlib.nullcontext())
+
+        @jax.jit
+        def stream(flats, feats, theta_buf):
+            with ctx:
+                params, smpl_t = packer.unpack(flats)
+                model = unpack_smpl(smpl, smpl_t)
+                out = fast_stream_scan(params, model, feats, theta_buf, cfg,
+                                       W, outputs=("theta",))
+                return jnp.swapaxes(out["theta"], 0, 1)  # (W, B, 85)
+
+        return stream
 
     plain = _time_stream(stream_plain, flats, feats, theta0, W)
-    fast = _time_stream(stream_fast, flats, feats, theta0, W)
-
-    # strict-parity cost (VERDICT r2 #6): evaluate.py defaults to
-    # jax.default_matmul_precision("float32") — full-precision f32 passes
-    # instead of the TPU's fast bf16-pass mode. Trace a fresh jit under the
-    # context so the precision is baked into the program.
-    @jax.jit
-    def stream_fast_strict(flats, feats, theta_buf):
-        with jax.default_matmul_precision("float32"):
-            params, smpl_t = packer.unpack(flats)
-            model = unpack_smpl(smpl, smpl_t)
-            out = fast_stream_scan(params, model, feats, theta_buf, cfg, W,
-                                   outputs=("theta",))
-            return jnp.swapaxes(out["theta"], 0, 1)
-
-    strict = _time_stream(stream_fast_strict, flats, feats, theta0, W,
+    # headline: the single-pass bf16 MXU mode (the demo/serving tier)
+    fast = _time_stream(make_fast(None), flats, feats, theta0, W)
+    # float32 = 6-pass exact-parity opt-in (`evaluate.py --precision
+    # float32`); tensorfloat32 = evaluate.py's DEFAULT tier (3-pass, 70x
+    # inside the 0.1 mm bar — tools/precision_sweep.json)
+    strict = _time_stream(make_fast("float32"), flats, feats, theta0, W,
                           reps=3)
-
-    # evaluate.py's default tier: tensorfloat32 (3-pass bf16) — meets the
-    # 0.1 mm north-star bar with ~70x margin (tools/precision_sweep.json)
-    # at a fraction of strict f32's cost.
-    @jax.jit
-    def stream_fast_tf32(flats, feats, theta_buf):
-        with jax.default_matmul_precision("tensorfloat32"):
-            params, smpl_t = packer.unpack(flats)
-            model = unpack_smpl(smpl, smpl_t)
-            out = fast_stream_scan(params, model, feats, theta_buf, cfg, W,
-                                   outputs=("theta",))
-            return jnp.swapaxes(out["theta"], 0, 1)
-
-    tf32 = _time_stream(stream_fast_tf32, flats, feats, theta0, W, reps=3)
+    tf32 = _time_stream(make_fast("tensorfloat32"), flats, feats, theta0, W,
+                        reps=3)
     return plain, fast, strict, tf32
 
 

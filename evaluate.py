@@ -390,7 +390,8 @@ def precision_scope(name: str):
         return jax.default_matmul_precision("float32")
     if name in ("tensorfloat32", "tf32", "high"):
         return jax.default_matmul_precision("tensorfloat32")
-    if name in ("bfloat16", "default", "fast"):
+    if name in ("bfloat16", "bf16", "default", "fast"):
+        # "bf16" matches the spelling train.py/demo.py use for the tier
         return contextlib.nullcontext()
     raise SystemExit(
         f"unknown --precision {name!r}: choose tensorfloat32 (default), "

@@ -217,6 +217,21 @@ class LiveSession:
         self._step = jax.jit(
             functools.partial(one_step, reset=None), donate_argnums=(1,))
         self._step_reset = jax.jit(one_step, donate_argnums=(1,))
+        self._reset_warm = False
+
+    def _warm_reset_step(self, x: jnp.ndarray) -> None:
+        """Compile the reset-step variant off the hot path.
+
+        The first tracklet churn would otherwise trace+compile mid-session
+        — a multi-second stall at exactly the latency-critical moment. Run
+        the reset jit once on throwaway carry buffers (donation consumes
+        them, not the live carry) during the first push, whose latency the
+        callers already exclude as the compile step.
+        """
+        dummy_c = tuple(jnp.zeros(f.shape, f.dtype) for f in self._carry)
+        self._step_reset(self._w_flats, dummy_c, x,
+                         jnp.zeros((self.n_streams,), bool))
+        self._reset_warm = True
 
     def push(self, x: np.ndarray,
              reset: Optional[np.ndarray] = None) -> Dict[str, np.ndarray]:
@@ -234,13 +249,16 @@ class LiveSession:
         if x.shape[0] != self.n_streams:
             raise ValueError(f"expected {self.n_streams} streams, "
                              f"got {x.shape[0]}")
+        xd = jnp.asarray(x)
+        if not self._reset_warm:
+            self._warm_reset_step(xd)
         if reset is not None and np.any(reset):
             r = jnp.asarray(np.asarray(reset, bool))
             self._carry, outs, live = self._step_reset(
-                self._w_flats, self._carry, jnp.asarray(x), r)
+                self._w_flats, self._carry, xd, r)
         else:
             self._carry, outs, live = self._step(
-                self._w_flats, self._carry, jnp.asarray(x))
+                self._w_flats, self._carry, xd)
         res = {k: np.asarray(v) for k, v in outs.items()}
         res["valid"] = np.asarray(live)
         return res

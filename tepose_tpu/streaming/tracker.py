@@ -24,10 +24,11 @@ pip packages, demo.py:34,87-100; OpenPose STAF binary, pose_tracker.py):
 
 from __future__ import annotations
 
+import collections
 import json
 import os.path as osp
 from glob import glob
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -443,7 +444,73 @@ def detect_people_auto(frames: List[np.ndarray],
     return det(frames, **kw)
 
 
-class CausalPersonTracker:
+class _CausalBackgroundTracker:
+    """Shared machinery of the causal live trackers: work-scale geometry,
+    the grayscale median/adapted background model, foreground candidate
+    extraction, and quiet-pixel background adaptation. Subclasses own the
+    box-association policy (single box vs K stable slots)."""
+
+    def __init__(self, bootstrap: int, work_width: int, min_area_frac: float,
+                 ema: float, bg_alpha: float, iou_keep: float):
+        import cv2
+
+        self.bootstrap = max(2, int(bootstrap))
+        self.work_width = work_width
+        self.min_area_frac = min_area_frac
+        self.ema = float(ema)
+        self.bg_alpha = float(bg_alpha)
+        self.iou_keep = float(iou_keep)
+        self._buf: List[np.ndarray] = []
+        self._bg: Optional[np.ndarray] = None
+        self._wh = None
+        self._scale = None
+        self._full = None
+        self._kernel = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (7, 7))
+
+    def _init_geometry(self, frame: np.ndarray) -> None:
+        h, w = frame.shape[:2]
+        self._scale = self.work_width / float(w)
+        self._wh = (self.work_width, max(1, int(round(h * self._scale))))
+        side = min(h, w) * 0.95
+        self._full = np.array([w / 2, h / 2, side, side], np.float32)
+
+    def _small_gray(self, img: np.ndarray) -> np.ndarray:
+        import cv2
+
+        g = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+        return cv2.resize(g, self._wh,
+                          interpolation=cv2.INTER_AREA).astype(np.float32)
+
+    def _candidates(self, g: np.ndarray, max_people: int):
+        """Foreground boxes of the current work-scale gray vs the background.
+
+        Returns (diff, thr, cands) — diff/thr are reused by `_adapt_bg`.
+        """
+        diff = np.abs(g - self._bg)
+        thr = max(18.0, float(diff.mean() + 2.5 * diff.std()))
+        mask = (diff > thr).astype(np.uint8) * 255
+        min_area = self.min_area_frac * self._wh[0] * self._wh[1]
+        cands = _boxes_from_mask(mask, self._scale, min_area, self._kernel,
+                                 max_people=max_people)
+        return diff, thr, cands
+
+    def _adapt_bg(self, g: np.ndarray, diff: np.ndarray, thr: float) -> None:
+        # adapt the background where nothing moved (lighting drift); the
+        # person's own pixels stay out so they can't burn into the model
+        quiet = diff <= thr
+        self._bg[quiet] += self.bg_alpha * (g[quiet] - self._bg[quiet])
+
+    def _work_rect(self, box: np.ndarray, shape) -> Tuple[int, int, int, int]:
+        """Clip a full-coords (cx, cy, side, ...) box to work-scale bounds."""
+        s = self._scale
+        cx, cy, side = box[0] * s, box[1] * s, box[2] * s
+        h, w = shape
+        x0 = max(0, int(cx - side / 2)); x1 = min(w, int(cx + side / 2) + 1)
+        y0 = max(0, int(cy - side / 2)); y1 = min(h, int(cy + side / 2) + 1)
+        return x0, x1, y0, y1
+
+
+class CausalPersonTracker(_CausalBackgroundTracker):
     """Frame-at-a-time single-person box tracker for the live demo path.
 
     The offline detectors need the whole clip (their median background is
@@ -471,39 +538,16 @@ class CausalPersonTracker:
     def __init__(self, bootstrap: int = 25, work_width: int = 320,
                  min_area_frac: float = 0.003, ema: float = 0.5,
                  bg_alpha: float = 0.02, iou_keep: float = 0.05):
-        import cv2
-
-        self.bootstrap = max(2, int(bootstrap))
-        self.work_width = work_width
-        self.min_area_frac = min_area_frac
-        self.ema = float(ema)
-        self.bg_alpha = float(bg_alpha)
-        self.iou_keep = float(iou_keep)
-        self._buf: List[np.ndarray] = []
-        self._bg: Optional[np.ndarray] = None
+        super().__init__(bootstrap, work_width, min_area_frac, ema,
+                         bg_alpha, iou_keep)
         self._box: Optional[np.ndarray] = None
-        self._wh = None
-        self._scale = None
-        self._full = None
-        self._kernel = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (7, 7))
-
-    def _small_gray(self, img: np.ndarray) -> np.ndarray:
-        import cv2
-
-        g = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
-        return cv2.resize(g, self._wh,
-                          interpolation=cv2.INTER_AREA).astype(np.float32)
 
     def update(self, frame: np.ndarray) -> np.ndarray:
         """Feed one RGB frame; returns (k, 4) (cx, cy, side, side) boxes for
         the k oldest frames not yet boxed — k=0 while bootstrapping, k=
         `bootstrap` on the frame completing it, k=1 afterwards."""
         if self._wh is None:
-            h, w = frame.shape[:2]
-            self._scale = self.work_width / float(w)
-            self._wh = (self.work_width, max(1, int(round(h * self._scale))))
-            side = min(h, w) * 0.95
-            self._full = np.array([w / 2, h / 2, side, side], np.float32)
+            self._init_geometry(frame)
         if self._bg is None:
             self._buf.append(frame)
             if len(self._buf) < self.bootstrap:
@@ -539,12 +583,7 @@ class CausalPersonTracker:
 
     def _step(self, frame: np.ndarray) -> np.ndarray:
         g = self._small_gray(frame)
-        diff = np.abs(g - self._bg)
-        thr = max(18.0, float(diff.mean() + 2.5 * diff.std()))
-        mask = (diff > thr).astype(np.uint8) * 255
-        min_area = self.min_area_frac * self._wh[0] * self._wh[1]
-        cands = _boxes_from_mask(mask, self._scale, min_area, self._kernel,
-                                 max_people=8)
+        diff, thr, cands = self._candidates(g, max_people=8)
         best = None
         if len(cands):
             ious = [iou_xywh(self._box, c) for c in cands]
@@ -553,14 +592,11 @@ class CausalPersonTracker:
                 best = cands[bi]
         if best is not None:
             self._box = self.ema * self._box + (1.0 - self.ema) * best
-        # adapt the background where nothing moved (lighting drift); the
-        # person's own pixels stay out so they can't burn into the model
-        quiet = diff <= thr
-        self._bg[quiet] += self.bg_alpha * (g[quiet] - self._bg[quiet])
+        self._adapt_bg(g, diff, thr)
         return self._box.astype(np.float32).copy()
 
 
-class CausalPeopleTracker:
+class CausalPeopleTracker(_CausalBackgroundTracker):
     """Strictly causal K-slot multi-person tracker for `demo.py --live`.
 
     Generalizes `CausalPersonTracker` to up to `slots` concurrent people in
@@ -580,54 +616,44 @@ class CausalPeopleTracker:
 
     Two departure-robustness rules on top of the single-person tracker:
     a matched blob with no frame-to-frame motion for `static_absorb`
-    consecutive frames is a GHOST (a person baked into the bootstrap
-    median who has since left) and is absorbed into the background so the
-    track can actually die; and a slot that is already coasting
-    (missed > 0) needs `iou_reacquire` (not the loose `iou_keep`) to claim
-    a detection, so a stale slot cannot silently capture a newcomer —
-    the newcomer instead waits for the slot to free and re-seeds it fresh.
+    consecutive frames *whose appearance no longer matches the slot's
+    template* is a GHOST (a departed person baked into the bootstrap
+    median — the region now shows empty background) and is absorbed into
+    the background so the track can actually die; a motionless blob that
+    still LOOKS like the tracked person is a person standing still and is
+    kept (the template, a small gray patch refreshed while the person
+    moves, is what disambiguates the two). And a slot that is already
+    coasting (missed > 0) needs `iou_reacquire` (not the loose `iou_keep`)
+    to claim a detection, so a stale slot cannot silently capture a
+    newcomer — the newcomer instead waits for the slot to free and
+    re-seeds it fresh.
     """
+
+    TMPL = 24      # appearance-template side (work-scale gray patch)
+    TMPL_LAG = 5   # history depth: _looks_tracked compares the oldest entry
 
     def __init__(self, slots: int = 2, bootstrap: int = 25,
                  work_width: int = 320, min_area_frac: float = 0.003,
                  ema: float = 0.5, bg_alpha: float = 0.02,
                  iou_keep: float = 0.05, max_missed: int = 25,
                  iou_reacquire: float = 0.25, static_absorb: int = 4,
-                 static_motion_eps: float = 4.0, static_frac: float = 0.02):
-        import cv2
-
+                 static_motion_eps: float = 4.0, static_frac: float = 0.02,
+                 ghost_mad: float = 12.0):
+        super().__init__(bootstrap, work_width, min_area_frac, ema,
+                         bg_alpha, iou_keep)
         self.slots = int(slots)
-        self.bootstrap = max(2, int(bootstrap))
-        self.work_width = work_width
-        self.min_area_frac = min_area_frac
-        self.ema = float(ema)
-        self.bg_alpha = float(bg_alpha)
-        self.iou_keep = float(iou_keep)
         self.max_missed = int(max_missed)
         self.iou_reacquire = float(iou_reacquire)
         self.static_absorb = max(1, int(static_absorb))
         self.static_motion_eps = float(static_motion_eps)
         self.static_frac = float(static_frac)
-        self._buf: List[np.ndarray] = []
-        self._bg: Optional[np.ndarray] = None
+        self.ghost_mad = float(ghost_mad)
         self._boxes: Optional[np.ndarray] = None     # (slots, 4)
         self._present: Optional[np.ndarray] = None   # (slots,) bool
         self._missed: Optional[np.ndarray] = None    # (slots,) int
         self._streak: Optional[np.ndarray] = None    # (slots,) static frames
+        self._tmpl: Optional[list] = None  # per-slot deques of patches
         self._prev_g: Optional[np.ndarray] = None
-        self._wh = None
-        self._scale = None
-        self._full = None
-        self._kernel = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (7, 7))
-
-    _small_gray = CausalPersonTracker._small_gray
-
-    def _init_geometry(self, frame):
-        h, w = frame.shape[:2]
-        self._scale = self.work_width / float(w)
-        self._wh = (self.work_width, max(1, int(round(h * self._scale))))
-        side = min(h, w) * 0.95
-        self._full = np.array([w / 2, h / 2, side, side], np.float32)
 
     def update(self, frame: np.ndarray):
         if self._wh is None:
@@ -663,40 +689,72 @@ class CausalPeopleTracker:
                                         -float(tr["bbox"][:, 2].max())))[:K]
         boxes = np.tile(self._full, (n, K, 1)).reshape(n, K, 4)
         present = np.zeros((n, K), bool)
+        fresh = np.zeros((n, K), bool)
+        self._tmpl = [collections.deque(maxlen=self.TMPL_LAG)
+                      for _ in range(K)]
         for s, tr in enumerate(ranked):
             for i in range(n):  # nearest-detection gap fill per slot
                 j = int(np.argmin(np.abs(tr["frames"] - i)))
                 boxes[i, s] = tr["bbox"][j]
-            present[:, s] = True
+            # presence starts at the tracklet's actual onset — a person who
+            # entered mid-bootstrap must not be rendered onto the earlier
+            # frames; the paired stream resets at the onset so its temporal
+            # context starts with the person's first real frame
+            onset = int(tr["frames"].min())
+            present[onset:, s] = True
+            if onset > 0:
+                fresh[onset, s] = True
+            self._remember(grays[-1], boxes[-1, s], s, reset=True)
         self._boxes = boxes[-1].copy()
         self._present = present[-1].copy()
         self._missed = np.zeros((K,), np.int64)
         self._streak = np.zeros((K,), np.int64)
         self._prev_g = grays[-1]
         self._buf = []
-        # streams are brand-new at the bootstrap drain: no resets needed
-        return (boxes.astype(np.float32), present,
-                np.zeros((n, K), bool))
+        return boxes.astype(np.float32), present, fresh
 
     def _motion_frac(self, fdiff, box):
         """Fraction of a (full-coords cx,cy,side) box with frame motion."""
-        s = self._scale
-        cx, cy, side = box[0] * s, box[1] * s, box[2] * s
-        h, w = fdiff.shape
-        x0 = max(0, int(cx - side / 2)); x1 = min(w, int(cx + side / 2) + 1)
-        y0 = max(0, int(cy - side / 2)); y1 = min(h, int(cy + side / 2) + 1)
+        x0, x1, y0, y1 = self._work_rect(box, fdiff.shape)
         if x1 <= x0 or y1 <= y0:
             return 1.0
         patch = fdiff[y0:y1, x0:x1]
         return float((patch > self.static_motion_eps).mean())
 
+    def _patch(self, g, box):
+        """Fixed-size appearance template of `box` in the work-scale gray."""
+        import cv2
+
+        x0, x1, y0, y1 = self._work_rect(box, g.shape)
+        if x1 <= x0 or y1 <= y0:
+            return None
+        return cv2.resize(g[y0:y1, x0:x1], (self.TMPL, self.TMPL),
+                          interpolation=cv2.INTER_AREA)
+
+    def _remember(self, g, box, s, reset=False) -> None:
+        """Append the region's appearance to slot `s`'s template history."""
+        patch = self._patch(g, box)
+        if reset:
+            self._tmpl[s].clear()
+        if patch is not None:
+            self._tmpl[s].append(patch)
+
+    def _looks_tracked(self, g, box, s) -> bool:
+        """Does the region still look like the person slot `s` follows?
+
+        Compared against the OLDEST remembered patch, not the latest: a
+        departure event is itself a high-motion frame, so the newest
+        remembered appearance can already BE the post-departure background
+        — the lag keeps the comparison anchored on the person.
+        """
+        patch = self._patch(g, box)
+        if patch is None or not self._tmpl[s]:
+            return False
+        return float(np.abs(patch - self._tmpl[s][0]).mean()) < self.ghost_mad
+
     def _absorb(self, g, box):
         """Write the current frame into the background inside `box`."""
-        s = self._scale
-        cx, cy, side = box[0] * s, box[1] * s, box[2] * s
-        h, w = g.shape
-        x0 = max(0, int(cx - side / 2)); x1 = min(w, int(cx + side / 2) + 1)
-        y0 = max(0, int(cy - side / 2)); y1 = min(h, int(cy + side / 2) + 1)
+        x0, x1, y0, y1 = self._work_rect(box, g.shape)
         self._bg[y0:y1, x0:x1] = g[y0:y1, x0:x1]
 
     def _step(self, frame):
@@ -704,12 +762,7 @@ class CausalPeopleTracker:
         g = self._small_gray(frame)
         fdiff = np.abs(g - self._prev_g)
         self._prev_g = g
-        diff = np.abs(g - self._bg)
-        thr = max(18.0, float(diff.mean() + 2.5 * diff.std()))
-        mask = (diff > thr).astype(np.uint8) * 255
-        min_area = self.min_area_frac * self._wh[0] * self._wh[1]
-        cands = _boxes_from_mask(mask, self._scale, min_area, self._kernel,
-                                 max_people=K + 4)
+        diff, thr, cands = self._candidates(g, max_people=K + 4)
         fresh = np.zeros((K,), bool)
         taken = np.zeros((len(cands),), bool)
         # greedy: each occupied slot claims its best-IoU candidate.  A slot
@@ -732,16 +785,27 @@ class CausalPeopleTracker:
                                   + (1.0 - self.ema) * cands[best])
                 self._missed[s] = 0
                 # ghost watch: a matched blob with ~zero frame-to-frame
-                # motion is a departed person baked into the bootstrap
-                # median.  After static_absorb such frames, fold the
-                # region into the background so the track can die.
-                if self._motion_frac(fdiff, cands[best]) < self.static_frac:
+                # motion AND an appearance that no longer matches the
+                # slot's template is a departed person baked into the
+                # bootstrap median (the region now shows empty
+                # background).  After static_absorb such frames, fold the
+                # region into the background so the track can die.  A
+                # motionless blob that still looks like the person is a
+                # person standing still — keep following.
+                static = (self._motion_frac(fdiff, cands[best])
+                          < self.static_frac)
+                if static and not self._looks_tracked(g, cands[best], s):
                     self._streak[s] += 1
                     if self._streak[s] >= self.static_absorb:
                         self._absorb(g, cands[best])
                         self._streak[s] = 0
                 else:
                     self._streak[s] = 0
+                    if not static:
+                        # refresh the appearance history while the person
+                        # demonstrably moves (only then is the blob surely
+                        # the person, not a ghost)
+                        self._remember(g, cands[best], s)
             else:
                 self._missed[s] += 1  # person still: keep following the box
                 self._streak[s] = 0
@@ -758,9 +822,10 @@ class CausalPeopleTracker:
             self._boxes[s] = cands[ci].copy()
             self._present[s] = True
             self._missed[s] = 0
+            self._streak[s] = 0
+            self._remember(g, cands[ci], s, reset=True)
             fresh[s] = True
-        quiet = diff <= thr  # background adaptation, as the single tracker
-        self._bg[quiet] += self.bg_alpha * (g[quiet] - self._bg[quiet])
+        self._adapt_bg(g, diff, thr)
         boxes = np.where(self._present[:, None], self._boxes,
                          self._full[None]).astype(np.float32)
         return boxes.copy(), self._present.copy(), fresh

@@ -168,6 +168,35 @@ def test_causal_people_tracker_two_slots_and_churn():
     assert np.median(errs1) < 30, np.median(errs1)
 
 
+def test_causal_people_tracker_keeps_still_person():
+    """A person who stops moving must NOT be absorbed as a ghost: the
+    appearance template still matches, so the track survives a long freeze
+    with no spurious fresh (stream reset)."""
+    import cv2
+
+    from tepose_tpu.streaming.tracker import CausalPeopleTracker
+
+    rs = np.random.RandomState(1)
+    bg = rs.randint(30, 50, (240, 320, 3)).astype(np.uint8)
+    frames = []
+    for t in range(70):
+        img = bg.copy()
+        x = int(80 + 25 * np.sin(min(t, 30) / 9.0))  # freezes at t=30
+        y = int(110 + 10 * np.cos(min(t, 30) / 7.0))
+        cv2.circle(img, (x, y), 26, (220, 170, 60), -1)
+        frames.append(img)
+
+    tracker = CausalPeopleTracker(slots=2, bootstrap=12, max_missed=8)
+    present, fresh = [], []
+    for f in frames:
+        _, p, fr = tracker.update(f)
+        present.extend(list(p))
+        fresh.extend(list(fr))
+    present, fresh = np.stack(present), np.stack(fresh)
+    assert present[30:, 0].all(), "still person's track died"
+    assert not fresh[12:].any(), "still person caused a spurious reset"
+
+
 def test_demo_live_two_streams_end_to_end(tmp_path, monkeypatch):
     """demo.py --live --live_streams 2 on a two-person clip with churn:
     per-slot pickle rows stay frame-aligned, presence tracks the scene, and

@@ -95,9 +95,8 @@ def test_eval_precision_scope_mapping():
         with evaluate.precision_scope(name):
             assert jax.config.jax_default_matmul_precision == expect, name
 
-    assert isinstance(evaluate.precision_scope("bfloat16"),
-                      contextlib.nullcontext)
-    assert isinstance(evaluate.precision_scope("fast"),
-                      contextlib.nullcontext)
+    for alias in ("bfloat16", "bf16", "fast"):
+        assert isinstance(evaluate.precision_scope(alias),
+                          contextlib.nullcontext), alias
     with pytest.raises(SystemExit):
         evaluate.precision_scope("float16")
