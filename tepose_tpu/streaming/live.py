@@ -82,6 +82,13 @@ class LiveSession:
     (one f32 + one int32 for the per-stream ages), so a push costs 3 input
     buffers over the dev tunnel (the rare reset push ships one extra bool
     mask); the carry is donated and never visits the host.
+
+    Multi-chip: pass `mesh` (a 1-D jax.sharding.Mesh) to shard the
+    `n_streams` slots over the data axis — weights replicate, the carry
+    pytree and every push/output shard per stream, and GSPMD needs no
+    collectives (streams are independent), so live serving scales linearly
+    in streams per chip. 1-dev == N-dev pinned in
+    tests/test_live.py::test_live_session_mesh_matches_single.
     """
 
     def __init__(self, smpl: SmplModel, tepose_params: Dict,
@@ -89,7 +96,8 @@ class LiveSession:
                  vibe_cfg: VibeConfig, n_streams: int = 1,
                  backbone_params: Optional[Dict] = None,
                  outputs: Tuple[str, ...] = ("theta", "kp_3d"),
-                 theta_pseu: Optional[np.ndarray] = None):
+                 theta_pseu: Optional[np.ndarray] = None,
+                 mesh=None):
         bad = set(outputs) - set(LIVE_OUTPUTS)
         if bad:
             raise ValueError(f"unknown outputs {sorted(bad)}; "
@@ -111,9 +119,6 @@ class LiveSession:
                    "vibe": vibe_params}
         if backbone_params is not None:
             weights["bb"] = backbone_params
-        self._w_packer = FlatPacker(weights)
-        self._w_flats = tuple(jax.device_put(jnp.asarray(f))
-                              for f in self._w_packer.pack_np(weights))
 
         if theta_pseu is None:
             theta_ring0 = np.zeros((B, S - 1, 85), np.float32)
@@ -130,19 +135,13 @@ class LiveSession:
             # be reset mid-session (tracklet churn in multi-person live)
             "age": np.zeros((B,), np.int32),
         }
-        self._c_packer = FlatPacker(carry0)
-        self._carry = tuple(jax.device_put(jnp.asarray(f))
-                            for f in self._c_packer.pack_np(carry0))
         theta_ring_init = jnp.asarray(theta_ring0)
 
-        w_packer, c_packer = self._w_packer, self._c_packer
         smpl_t = smpl
         out_keys = self.outputs
         has_bb = backbone_params is not None
 
-        def one_step(w_flats, c_flats, x, reset):
-            w = w_packer.unpack(w_flats)
-            carry = c_packer.unpack(c_flats)
+        def core(w, carry, x, reset):
             if reset is not None:
                 # re-seed the chosen streams to their fresh-session state
                 # BEFORE processing: a reset slot's first frame behaves
@@ -210,7 +209,62 @@ class LiveSession:
                 "theta_ring": new_theta_ring,
                 "age": carry["age"] + 1,
             }
-            return c_packer.pack(new_carry), outs, live
+            return new_carry, outs, live
+
+        self._mesh = mesh
+        if mesh is None:
+            # single-chip path: everything flat-packed for the host link
+            # (~150 ms per used input buffer over the dev tunnel)
+            self._w_packer = FlatPacker(weights)
+            w_packer = self._w_packer
+            self._w_arg = tuple(jax.device_put(jnp.asarray(f))
+                                for f in w_packer.pack_np(weights))
+            self._c_packer = FlatPacker(carry0)
+            c_packer = self._c_packer
+            self._carry = tuple(jax.device_put(jnp.asarray(f))
+                                for f in c_packer.pack_np(carry0))
+            self._x_place = jnp.asarray
+
+            def one_step(w_flats, c_flats, x, reset):
+                new_carry, outs, live = core(w_packer.unpack(w_flats),
+                                             c_packer.unpack(c_flats),
+                                             x, reset)
+                return c_packer.pack(new_carry), outs, live
+        else:
+            # mesh path: streams shard over the data axis, weights
+            # replicate — GSPMD then runs each stream's step on its own
+            # chip with no cross-device collectives (the math has no
+            # cross-stream coupling). The carry stays an unpacked sharded
+            # pytree: flat-packing would interleave per-stream state in one
+            # buffer and defeat the sharding, and a real multi-chip host
+            # does not pay the dev tunnel's per-buffer cost.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            ndev = int(np.prod(mesh.devices.shape))
+            if B % ndev:
+                raise ValueError(f"n_streams={B} must divide the "
+                                 f"{ndev}-device mesh")
+
+            def ns(spec):
+                return NamedSharding(mesh, spec)
+
+            specs = {"vibe_h": P(None, axis), "proj_ring": P(axis),
+                     "theta_ring": P(axis), "age": P(axis)}
+            self._w_arg = jax.tree_util.tree_map(
+                lambda a: jax.device_put(jnp.asarray(a), ns(P())), weights)
+            self._carry = {k: jax.device_put(jnp.asarray(v), ns(specs[k]))
+                           for k, v in carry0.items()}
+            x_sh, r_sh = ns(P(axis)), ns(P(axis))
+            self._x_place = lambda x: jax.device_put(jnp.asarray(x), x_sh)
+            self._r_place = lambda r: jax.device_put(r, r_sh)
+
+            def one_step(w, carry, x, reset):
+                new_carry, outs, live = core(w, carry, x, reset)
+                new_carry = {
+                    k: jax.lax.with_sharding_constraint(v, ns(specs[k]))
+                    for k, v in new_carry.items()}
+                return new_carry, outs, live
 
         # two jits so the common no-reset push ships no extra buffer over
         # the link; the reset variant only runs on (rare) tracklet churn
@@ -228,10 +282,16 @@ class LiveSession:
         them, not the live carry) during the first push, whose latency the
         callers already exclude as the compile step.
         """
-        dummy_c = tuple(jnp.zeros(f.shape, f.dtype) for f in self._carry)
-        self._step_reset(self._w_flats, dummy_c, x,
-                         jnp.zeros((self.n_streams,), bool))
+        dummy_c = jax.tree_util.tree_map(
+            lambda f: jax.device_put(jnp.zeros(f.shape, f.dtype), f.sharding),
+            self._carry)
+        self._step_reset(self._w_arg, dummy_c, x,
+                         self._place_reset(jnp.zeros((self.n_streams,),
+                                                     bool)))
         self._reset_warm = True
+
+    def _place_reset(self, r: jnp.ndarray) -> jnp.ndarray:
+        return self._r_place(r) if self._mesh is not None else r
 
     def push(self, x: np.ndarray,
              reset: Optional[np.ndarray] = None) -> Dict[str, np.ndarray]:
@@ -249,16 +309,16 @@ class LiveSession:
         if x.shape[0] != self.n_streams:
             raise ValueError(f"expected {self.n_streams} streams, "
                              f"got {x.shape[0]}")
-        xd = jnp.asarray(x)
+        xd = self._x_place(x)
         if not self._reset_warm:
             self._warm_reset_step(xd)
         if reset is not None and np.any(reset):
-            r = jnp.asarray(np.asarray(reset, bool))
+            r = self._place_reset(jnp.asarray(np.asarray(reset, bool)))
             self._carry, outs, live = self._step_reset(
-                self._w_flats, self._carry, xd, r)
+                self._w_arg, self._carry, xd, r)
         else:
             self._carry, outs, live = self._step(
-                self._w_flats, self._carry, xd)
+                self._w_arg, self._carry, xd)
         res = {k: np.asarray(v) for k, v in outs.items()}
         res["valid"] = np.asarray(live)
         return res

@@ -120,3 +120,30 @@ def test_live_per_stream_reset(rng):
         np.testing.assert_allclose(
             got_b2[i], fresh.push(b2[i:i + 1])["theta"][0],
             rtol=2e-4, atol=2e-5, err_msg=f"reset frame {i}")
+
+
+def test_live_session_mesh_matches_single(rng):
+    """LiveSession(mesh=8 devices) must reproduce the single-device rollout
+    per stream, including a mid-session per-stream reset."""
+    from tepose_tpu.parallel.mesh import make_mesh
+
+    smpl, mcfg, vcfg, tp, vp, _ = _models()
+    B, T = 8, 12
+    feats = rng.randn(T, B, 2048).astype(np.float32) * 0.1
+
+    solo = LiveSession(smpl, tp, vp, mcfg, vcfg, n_streams=B,
+                       outputs=("theta", "kp_3d"))
+    mesh = make_mesh(8)
+    sharded = LiveSession(smpl, tp, vp, mcfg, vcfg, n_streams=B,
+                          outputs=("theta", "kp_3d"), mesh=mesh)
+    for t in range(T):
+        reset = None
+        if t == 5:
+            reset = np.zeros((B,), bool)
+            reset[3] = True  # churn one slot mid-session
+        a = solo.push(feats[t], reset=reset)
+        b = sharded.push(feats[t], reset=reset)
+        np.testing.assert_array_equal(a["valid"], b["valid"], err_msg=f"t={t}")
+        for k in ("theta", "kp_3d"):
+            np.testing.assert_allclose(a[k], b[k], rtol=2e-4, atol=2e-5,
+                                       err_msg=f"t={t} {k}")
