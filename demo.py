@@ -233,9 +233,12 @@ def run_live(args, crop_size: int = 224):
     (smpl, faces, mcfg, vcfg, tepose_params, vibe_params,
      backbone_params) = build_demo_models(args)
     K = max(1, int(args.live_streams))
-    session = LiveSession(smpl, tepose_params, vibe_params, mcfg, vcfg,
-                          n_streams=K, backbone_params=backbone_params,
-                          outputs=("theta", "verts", "kp_3d"))
+    import jax.numpy as _jnp
+
+    session = LiveSession(
+        smpl, tepose_params, vibe_params, mcfg, vcfg, n_streams=K,
+        backbone_params=backbone_params, outputs=("theta", "verts", "kp_3d"),
+        backbone_dtype=_jnp.bfloat16 if args.precision == "bf16" else None)
     if K > 1:
         from tepose_tpu.streaming.tracker import CausalPeopleTracker
 

@@ -97,7 +97,7 @@ class LiveSession:
                  backbone_params: Optional[Dict] = None,
                  outputs: Tuple[str, ...] = ("theta", "kp_3d"),
                  theta_pseu: Optional[np.ndarray] = None,
-                 mesh=None):
+                 mesh=None, backbone_dtype=None):
         bad = set(outputs) - set(LIVE_OUTPUTS)
         if bad:
             raise ValueError(f"unknown outputs {sorted(bad)}; "
@@ -158,14 +158,10 @@ class LiveSession:
                     "age": jnp.where(reset, 0, carry["age"]),
                 }
             if has_bb and x.ndim == 4:
-                from tepose_tpu.models.backbone import resnet50_features
-                if x.dtype == jnp.uint8:
-                    mean = jnp.asarray([0.485, 0.456, 0.406],
-                                       jnp.float32).reshape(1, 3, 1, 1)
-                    std = jnp.asarray([0.229, 0.224, 0.225],
-                                      jnp.float32).reshape(1, 3, 1, 1)
-                    x = (x.astype(jnp.float32) / 255.0 - mean) / std
-                feat = resnet50_features(w["bb"], x)               # (B, 2048)
+                # same normalise+cast+backbone op as the offline engine
+                # (incl. the bf16 conv-stack option, `--precision bf16`)
+                from tepose_tpu.streaming.engine import _backbone_chunk
+                feat = _backbone_chunk(w["bb"], x, backbone_dtype)  # (B,2048)
             else:
                 feat = x
 

@@ -147,3 +147,28 @@ def test_live_session_mesh_matches_single(rng):
         for k in ("theta", "kp_3d"):
             np.testing.assert_allclose(a[k], b[k], rtol=2e-4, atol=2e-5,
                                        err_msg=f"t={t} {k}")
+
+
+def test_live_session_bf16_backbone_close(rng):
+    """LiveSession(backbone_dtype=bf16) — demo.py --live --precision bf16 —
+    must track the f32 session's outputs closely (same tolerance family as
+    the offline engine's bf16 backbone tests)."""
+    import jax.numpy as jnp
+
+    smpl, mcfg, vcfg, tp, vp, bb = _models()
+    T, B = 8, 2
+    crops = (rng.rand(B, T, 3, 64, 64) * 255).astype(np.uint8)
+    f32 = LiveSession(smpl, tp, vp, mcfg, vcfg, n_streams=B,
+                      backbone_params=bb, outputs=("theta",))
+    b16 = LiveSession(smpl, tp, vp, mcfg, vcfg, n_streams=B,
+                      backbone_params=bb, outputs=("theta",),
+                      backbone_dtype=jnp.bfloat16)
+    for t in range(T):
+        a = f32.push(crops[:, t])["theta"]
+        b = b16.push(crops[:, t])["theta"]
+        assert np.isfinite(b).all()
+        # random-init weights amplify the bf16 feature error; the bound
+        # here is a sanity envelope, the real accuracy claim is the
+        # offline engine's bf16-backbone parity test
+        np.testing.assert_allclose(a, b, rtol=0.1, atol=0.15,
+                                   err_msg=f"frame {t}")
