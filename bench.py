@@ -256,7 +256,7 @@ def measure_end_to_end(cfg, smpl, params, n_streams=8, frames=120):
 
 
 def measure_training(vidlen=126, num_iters=120, hp=None,
-                     fast_encoder=False):
+                     fast_encoder=False, mode="full"):
     """GAN training throughput at flagship shapes (batch 32 = 19 2D + 13 3D,
     hidden-1024 2-layer encoder, 13/6-scale GCN discriminator, full SMPL):
     windows/sec of the packed on-device segment (ref: trainer.py:124-247,
@@ -321,7 +321,7 @@ def measure_training(vidlen=126, num_iters=120, hp=None,
 
     seg, carry_packer, data_packer = make_packed_train_segment(
         smpl, cfg, hp, gen_tx, disc_tx, LossWeights(), num_iters,
-        carry, data)
+        carry, data, mode=mode)
     carry_flats = tuple(jax.device_put(jnp.asarray(f))
                         for f in carry_packer.pack_np(carry))
     data_flats = tuple(jnp.asarray(f) for f in data_packer.pack_np(data))

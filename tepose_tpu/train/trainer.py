@@ -148,6 +148,7 @@ def make_train_segment(
     disc_tx: optax.GradientTransformation,
     weights: LossWeights,
     num_iters: int,
+    mode: str = "full",
 ):
     """Build the jitted function running `num_iters` windows of GAN training
     over one (2D batch, 3D batch) pair entirely on device.
@@ -158,7 +159,16 @@ def make_train_segment(
 
     amass_theta: (num_iters, B, S, 85) pre-sampled real-motion windows
     (the reference draws a fresh AMASS batch per inner step, trainer.py:165).
+
+    mode: "full" (train), or the measurement ablations used by
+    tools/bench_notes.py's train-time breakdown — "forward" runs only the
+    loss values (no backward, no updates) and "grad" runs forward+backward
+    but skips the optimizer (grad magnitudes folded into the metrics so
+    XLA cannot dead-code the backward). Both keep the exact window
+    assembly and theta-ring recurrence of the real step.
     """
+    if mode not in ("full", "grad", "forward"):
+        raise ValueError(f"unknown mode {mode!r}")
     S = hp.seqlen
     cd = jnp.dtype(hp.compute_dtype) if hp.compute_dtype else None
 
@@ -251,32 +261,48 @@ def make_train_segment(
         inp, theta_buf, _, valid, targets = assemble_window(
             batch_2d, batch_3d, theta_buf, j, hp, k_samp)
 
-        (g_gen, g_disc), (gen_loss, dis_loss, ld, disc_state, mean_theta) = \
-            grad_fn(gen_params, disc_params, disc_state, inp, targets, valid,
-                    theta_buf, amass, k_drop)
+        metrics_extra = {}
+        if mode == "forward":
+            _, (gen_loss, dis_loss, ld, disc_state, mean_theta) = losses_fn(
+                gen_params, disc_params, disc_state, inp, targets, valid,
+                theta_buf, amass, k_drop)
+        else:
+            (g_gen, g_disc), (gen_loss, dis_loss, ld, disc_state,
+                              mean_theta) = \
+                grad_fn(gen_params, disc_params, disc_state, inp, targets,
+                        valid, theta_buf, amass, k_drop)
 
-        any_valid = valid.sum() > 0
+        if mode == "full":
+            any_valid = valid.sum() > 0
 
-        # generator step (skipped entirely when no window is valid,
-        # ref: trainer.py:201)
-        def gen_update(args):
-            gp, go = args
-            updates, go = gen_tx.update(g_gen, go, gp)
-            return optax.apply_updates(gp, updates), go
+            # generator step (skipped entirely when no window is valid,
+            # ref: trainer.py:201)
+            def gen_update(args):
+                gp, go = args
+                updates, go = gen_tx.update(g_gen, go, gp)
+                return optax.apply_updates(gp, updates), go
 
-        gen_params, gen_opt = jax.lax.cond(
-            any_valid, gen_update, lambda a: a, (gen_params, gen_opt))
+            gen_params, gen_opt = jax.lax.cond(
+                any_valid, gen_update, lambda a: a, (gen_params, gen_opt))
 
-        # discriminator step on cadence with nonzero loss (trainer.py:239-242)
-        do_disc = any_valid & (j % hp.disc_update_steps == 0) & (dis_loss != 0)
+            # discriminator step on cadence with nonzero loss
+            # (trainer.py:239-242)
+            do_disc = (any_valid & (j % hp.disc_update_steps == 0)
+                       & (dis_loss != 0))
 
-        def disc_update(args):
-            dp, do = args
-            updates, do = disc_tx.update(g_disc, do, dp)
-            return optax.apply_updates(dp, updates), do
+            def disc_update(args):
+                dp, do = args
+                updates, do = disc_tx.update(g_disc, do, dp)
+                return optax.apply_updates(dp, updates), do
 
-        disc_params, disc_opt = jax.lax.cond(
-            do_disc, disc_update, lambda a: a, (disc_params, disc_opt))
+            disc_params, disc_opt = jax.lax.cond(
+                do_disc, disc_update, lambda a: a, (disc_params, disc_opt))
+        elif mode == "grad":
+            # consume the gradients so the backward survives DCE
+            metrics_extra["grad_norm_sq"] = sum(
+                jnp.sum(jnp.square(g.astype(jnp.float32)))
+                for t in (g_gen, g_disc)
+                for g in jax.tree_util.tree_leaves(t))
 
         # ring-buffer shift for still-running videos (trainer.py:245-247)
         shifted = jnp.concatenate([theta_buf[:, 1:], mean_theta[:, None]],
@@ -284,7 +310,7 @@ def make_train_segment(
         theta_buf = jnp.where(valid[:, None, None] > 0, shifted, theta_buf)
 
         metrics = {"gen_loss": gen_loss, "dis_loss": dis_loss,
-                   **{k: v for k, v in ld.items()}}
+                   **{k: v for k, v in ld.items()}, **metrics_extra}
         return (gen_params, disc_params, disc_state, gen_opt, disc_opt,
                 theta_buf, batch_2d, batch_3d), metrics
 
@@ -316,7 +342,8 @@ def make_train_segment(
 
 
 def make_packed_train_segment(smpl, model_cfg, hp, gen_tx, disc_tx, weights,
-                              num_iters, carry_template, data_template):
+                              num_iters, carry_template, data_template,
+                              mode: str = "full"):
     """Packed-IO variant of make_train_segment for the remote-TPU link.
 
     The training carry (both nets' params, optimiser states, BN state —
@@ -332,7 +359,7 @@ def make_packed_train_segment(smpl, model_cfg, hp, gen_tx, disc_tx, weights,
     from tepose_tpu.utils.packing import FlatPacker
 
     base = make_train_segment(smpl, model_cfg, hp, gen_tx, disc_tx, weights,
-                              num_iters)
+                              num_iters, mode=mode)
     carry_packer = FlatPacker(carry_template)
     data_packer = FlatPacker(data_template)
 

@@ -310,3 +310,48 @@ def test_trainloop_fit_and_resume(rng, tmp_path):
     for l in loaders:
         if l is not None:
             l.close()
+
+
+def test_train_segment_measurement_modes_agree(rng):
+    """The bench-breakdown ablations (mode='forward'/'grad') must compute
+    the SAME first-window losses as the shipped step (mode='full') — they
+    differ only in what happens after the loss, so a 1-iteration segment
+    pins that the ablated graphs measure the real computation."""
+    hp = TrainHyper(seqlen=6, n_2d=2, n_3d=3, num_gcn_scales=3,
+                    num_g3d_scales=2)
+    model_cfg = TePoseConfig(seqlen=6, n_layers=1, hidden_size=32)
+    smpl = synthetic_smpl_model(seed=0, num_verts=64)
+    gen_params = tepose_init(jax.random.PRNGKey(0), model_cfg)
+    disc_params, disc_state = motion_discriminator_init(
+        jax.random.PRNGKey(1), num_gcn_scales=3, num_g3d_scales=2)
+    gen_tx = make_optimizer("adam", 1e-4)
+    disc_tx = make_optimizer("adam", 1e-4, weight_decay=1e-4)
+    gen_opt = gen_tx.init(gen_params)
+    disc_opt = disc_tx.init(disc_params)
+    batch_2d, batch_3d = _tiny_batches(rng, hp)
+    amass = jnp.asarray(
+        rng.randn(1, hp.n_2d + hp.n_3d, 6, 85).astype(np.float32) * 0.1)
+    key = jax.random.PRNGKey(7)
+
+    outs = {}
+    copy = lambda t: jax.tree_util.tree_map(jnp.array, t)  # noqa: E731
+    for mode in ("full", "grad", "forward"):
+        seg = make_train_segment(smpl, model_cfg, hp, gen_tx, disc_tx,
+                                 LossWeights(), 1, mode=mode)
+        # the segment donates its carry args — hand each mode fresh buffers
+        outs[mode] = seg(copy(gen_params), copy(disc_params),
+                         copy(disc_state), copy(gen_opt), copy(disc_opt),
+                         batch_2d, batch_3d, amass, key)[5]
+    for mode in ("grad", "forward"):
+        for k in ("gen_loss", "dis_loss"):
+            np.testing.assert_allclose(
+                float(outs[mode][k]), float(outs["full"][k]), rtol=1e-5,
+                err_msg=f"{mode}:{k}")
+    g = float(outs["grad"]["grad_norm_sq"])
+    assert np.isfinite(g) and g > 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="mode"):
+        make_train_segment(smpl, model_cfg, hp, gen_tx, disc_tx,
+                           LossWeights(), 1, mode="bogus")

@@ -187,6 +187,33 @@ def train_batch_scaling():
     }
 
 
+def train_time_breakdown():
+    """Forward / backward / optimizer attribution of the GAN step.
+
+    Same segment, three builds (trainer.make_train_segment `mode`):
+    "forward" = loss values only, "grad" = forward+backward with the
+    gradients consumed into a metric, "full" = the shipped step. The
+    deltas attribute the per-iteration time; all three keep the real
+    window assembly + theta-ring recurrence.
+    """
+    sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+    from bench import measure_training
+
+    fwd = measure_training(num_iters=60, mode="forward")
+    grad = measure_training(num_iters=60, mode="grad")
+    full = measure_training(num_iters=60, mode="full")
+    ms = lambda r: 1e3 / r["wps"]  # noqa: E731
+    return {
+        "forward_ms_per_iter": round(ms(fwd), 3),
+        "backward_ms_per_iter": round(ms(grad) - ms(fwd), 3),
+        "optimizer_ms_per_iter": round(ms(full) - ms(grad), 3),
+        "full_ms_per_iter": round(ms(full), 3),
+        "wps": {k: round(v["wps"], 1)
+                for k, v in (("forward", fwd), ("grad", grad),
+                             ("full", full))},
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--profile", default="")
@@ -201,9 +228,11 @@ def main():
         stages = stage_breakdown()
         chunk_sweep = backbone_chunk_sweep()
         scaling = train_batch_scaling()
+        tbreak = train_time_breakdown()
     print(json.dumps({"stage_breakdown": stages,
                       "backbone_chunk_sweep_crops_per_s": chunk_sweep,
-                      "train_batch_scaling": scaling}, indent=1))
+                      "train_batch_scaling": scaling,
+                      "train_time_breakdown": tbreak}, indent=1))
 
 
 if __name__ == "__main__":
