@@ -194,24 +194,42 @@ def measure_end_to_end(cfg, smpl, params, n_streams=8, frames=120):
     crops = [rng.randint(0, 255, (frames, 3, 224, 224), np.uint8)
              for _ in range(n_streams)]
 
-    def timed_full_path(eng, reps=3):
-        outs = eng.run_tracklets_from_crops(crops)  # warmup/compile
-        assert all(np.isfinite(np.asarray(o["theta"],
-                                          np.float32)).all() for o in outs)
-        t0 = time.time()
-        for _ in range(reps):
-            outs = eng.run_tracklets_from_crops(crops)  # syncs internally
-        return n_streams * frames / ((time.time() - t0) / reps), outs
-
-    full_fps, outs = timed_full_path(engine)
-    assert outs[0]["verts"].shape == (frames, smpl.num_verts, 3)
-
     # the readback-traffic knobs (VERDICT r2: the link is the measured
     # bottleneck of this path; f16 halves the bytes, joints-only drops the
     # 6890x3 verts entirely)
-    f16_fps, _ = timed_full_path(make_engine(output_dtype=jnp.float16))
-    joints_fps, _ = timed_full_path(
-        make_engine(outputs=("theta", "kp_3d"), output_dtype=jnp.float16))
+    engines = {
+        "f32": engine,
+        "f16": make_engine(output_dtype=jnp.float16),
+        "joints": make_engine(outputs=("theta", "kp_3d"),
+                              output_dtype=jnp.float16),
+    }
+
+    def warm(eng):
+        outs = eng.run_tracklets_from_crops(crops)  # warmup/compile
+        assert all(np.isfinite(np.asarray(o["theta"],
+                                          np.float32)).all() for o in outs)
+        return outs
+
+    outs = warm(engines["f32"])
+    assert outs[0]["verts"].shape == (frames, smpl.num_verts, 3)
+    warm(engines["f16"])
+    warm(engines["joints"])
+
+    # INTERLEAVED reps: the dev link's bandwidth drifts on the minutes
+    # scale, so timing the three output modes back-to-back-to-back would
+    # attribute link drift to the mode (observed: f16 "slower" than f32 in
+    # a sequential run). Alternating reps makes the comparison fair — the
+    # same trick backbone_chunk_sweep uses.
+    reps = 3
+    times = {k: 0.0 for k in engines}
+    for _ in range(reps):
+        for k, eng in engines.items():
+            t0 = time.time()
+            eng.run_tracklets_from_crops(crops)  # syncs internally
+            times[k] += time.time() - t0
+    full_fps, f16_fps, joints_fps = (
+        n_streams * frames / (times[k] / reps)
+        for k in ("f32", "f16", "joints"))
 
     # device-compute-only: same fused program with crops pre-staged in HBM
     # and outputs left on device. Isolates the accelerator from the axon

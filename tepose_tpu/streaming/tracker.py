@@ -18,6 +18,10 @@ pip packages, demo.py:34,87-100; OpenPose STAF binary, pose_tracker.py):
   * `CausalPersonTracker` — strictly causal single-person tracker for the
     `demo.py --live` frame-at-a-time path (bootstrap background build, then
     per-frame diff + IoU follow).
+  * `CausalPeopleTracker` — its K-slot multi-person generalisation
+    (`--live_streams N`): stable person slots with departure detection
+    (ghost absorption + appearance templates) and fresh-seed flags that
+    reset the paired LiveSession stream.
   * `load_pose_tracklets` — parse OpenPose-style keypoint JSONs into
     tracklets (the `--tracking_method pose` path, ref: pose_tracker.py:52-99).
 """
