@@ -355,3 +355,42 @@ def test_train_segment_measurement_modes_agree(rng):
     with pytest.raises(ValueError, match="mode"):
         make_train_segment(smpl, model_cfg, hp, gen_tx, disc_tx,
                            LossWeights(), 1, mode="bogus")
+
+
+def test_train_segment_bitwise_deterministic(rng):
+    """Same seed + same inputs -> bit-identical params and metrics. The
+    reference has no reproducibility story (SURVEY §5: no seeding
+    discipline); here the whole segment is one XLA program with explicit
+    PRNG threading, so runs must agree EXACTLY, not approximately."""
+    hp = TrainHyper(seqlen=6, n_2d=2, n_3d=3, num_gcn_scales=3,
+                    num_g3d_scales=2)
+    model_cfg = TePoseConfig(seqlen=6, n_layers=1, hidden_size=32)
+    smpl = synthetic_smpl_model(seed=0, num_verts=64)
+    gen_params = tepose_init(jax.random.PRNGKey(0), model_cfg)
+    disc_params, disc_state = motion_discriminator_init(
+        jax.random.PRNGKey(1), num_gcn_scales=3, num_g3d_scales=2)
+    gen_tx = make_optimizer("adam", 1e-4)
+    disc_tx = make_optimizer("adam", 1e-4, weight_decay=1e-4)
+    batch_2d, batch_3d = _tiny_batches(rng, hp)
+    amass = jnp.asarray(
+        rng.randn(3, hp.n_2d + hp.n_3d, 6, 85).astype(np.float32) * 0.1)
+    seg = make_train_segment(smpl, model_cfg, hp, gen_tx, disc_tx,
+                             LossWeights(), 3)
+
+    copy = lambda t: jax.tree_util.tree_map(jnp.array, t)  # noqa: E731
+
+    def run():
+        out = seg(copy(gen_params), copy(disc_params), copy(disc_state),
+                  copy(gen_tx.init(gen_params)),
+                  copy(disc_tx.init(disc_params)),
+                  batch_2d, batch_3d, amass, jax.random.PRNGKey(7))
+        return out[0], out[5]
+
+    p1, m1 = run()
+    p2, m2 = run()
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for k in m1:
+        np.testing.assert_array_equal(np.asarray(m1[k]), np.asarray(m2[k]),
+                                      err_msg=k)
