@@ -273,9 +273,20 @@ def measure_end_to_end(cfg, smpl, params, n_streams=8, frames=120):
     }
 
 
-def measure_training(vidlen=126, num_iters=120, hp=None,
+def prepare_training(vidlen=126, num_iters=120, hp=None,
                      fast_encoder=False, mode="full"):
-    """GAN training throughput at flagship shapes (batch 32 = 19 2D + 13 3D,
+    """Build + warm one packed GAN train segment; return (run, finish).
+
+    `run()` executes one segment call and syncs (the donated carry is
+    rebound internally), so callers can interleave reps across several
+    prepared variants — tools/bench_notes.py's train_time_breakdown needs
+    this because its attribution is built from 1-3 ms/iter DIFFERENCES of
+    the three modes, and sequential whole-measurements minutes apart soak
+    up link/device drift into exactly those deltas (same fix as
+    measure_end_to_end's interleaved output modes). `finish(dt)` checks
+    finiteness and returns the result dict for a measured per-call time.
+
+    GAN training at flagship shapes (batch 32 = 19 2D + 13 3D,
     hidden-1024 2-layer encoder, 13/6-scale GCN discriminator, full SMPL):
     windows/sec of the packed on-device segment (ref: trainer.py:124-247,
     NUM_ITERS_PER_EPOCH inner loop). `hp` overrides the batch shape (used
@@ -347,37 +358,54 @@ def measure_training(vidlen=126, num_iters=120, hp=None,
     key = jrandom.PRNGKey(0)
     carry_flats, m = seg(carry_flats, data_flats, key)   # warmup/compile
     np.asarray(m)
+
+    state = {"carry": carry_flats, "metrics": m}
+
+    def run():
+        state["carry"], state["metrics"] = seg(state["carry"], data_flats,
+                                               key)
+        np.asarray(state["metrics"][:1])  # per-rep sync (tiny readback)
+
+    def finish(dt):
+        assert np.all(np.isfinite(np.asarray(state["metrics"]))), \
+            "non-finite train metrics"
+
+        # train MFU: analytic encoder FLOPs (the GRU scans are invisible
+        # to XLA's loop-body-once cost model) + XLA-counted regressor/disc
+        # graphs (loop-free, so exact), x3 for the combined GAN backward
+        from tepose_tpu.models.regressor import regressor_apply
+        from tepose_tpu.utils import flops as FL
+
+        peak = FL.peak_flops()
+        reg_fwd = FL.xla_flops(
+            lambda p, x: regressor_apply(p, smpl, x, compute_verts=False),
+            gen_params["regressor"], jnp.zeros((2 * B, 2048), jnp.float32))
+        disc_fwd = FL.xla_flops(
+            lambda p, s, x: motion_discriminator_apply(
+                p, s, x, num_gcn_scales=hp.num_gcn_scales,
+                num_g3d_scales=hp.num_g3d_scales)[0],
+            disc_params, disc_state, jnp.zeros((B, S, 72), jnp.float32))
+        iter_flops = FL.train_iter_flops(
+            B, cfg.seqlen, cfg.n_layers, cfg.hidden_size,
+            regressor_fwd=reg_fwd, disc_fwd=disc_fwd)
+        return {
+            "wps": num_iters / dt,
+            "mfu": (iter_flops * num_iters / dt / peak) if peak else None,
+            "gflops_per_iter": iter_flops / 1e9,
+        }
+
+    return run, finish
+
+
+def measure_training(vidlen=126, num_iters=120, hp=None,
+                     fast_encoder=False, mode="full", reps=2):
+    """Time one prepared train segment (see prepare_training)."""
+    run, finish = prepare_training(vidlen, num_iters, hp, fast_encoder,
+                                   mode)
     t0 = time.time()
-    reps = 2
     for _ in range(reps):
-        carry_flats, m = seg(carry_flats, data_flats, key)
-        np.asarray(m[:1])
-    dt = (time.time() - t0) / reps
-    assert np.all(np.isfinite(np.asarray(m))), "non-finite train metrics"
-
-    # train MFU: analytic encoder FLOPs (the GRU scans are invisible to
-    # XLA's loop-body-once cost model) + XLA-counted regressor/disc graphs
-    # (loop-free, so exact), x3 for the combined GAN backward
-    from tepose_tpu.models.regressor import regressor_apply
-    from tepose_tpu.utils import flops as FL
-
-    peak = FL.peak_flops()
-    reg_fwd = FL.xla_flops(
-        lambda p, x: regressor_apply(p, smpl, x, compute_verts=False),
-        gen_params["regressor"], jnp.zeros((2 * B, 2048), jnp.float32))
-    disc_fwd = FL.xla_flops(
-        lambda p, s, x: motion_discriminator_apply(
-            p, s, x, num_gcn_scales=hp.num_gcn_scales,
-            num_g3d_scales=hp.num_g3d_scales)[0],
-        disc_params, disc_state, jnp.zeros((B, S, 72), jnp.float32))
-    iter_flops = FL.train_iter_flops(
-        B, cfg.seqlen, cfg.n_layers, cfg.hidden_size,
-        regressor_fwd=reg_fwd, disc_fwd=disc_fwd)
-    return {
-        "wps": num_iters / dt,
-        "mfu": (iter_flops * num_iters / dt / peak) if peak else None,
-        "gflops_per_iter": iter_flops / 1e9,
-    }
+        run()
+    return finish((time.time() - t0) / reps)
 
 
 def main() -> None:

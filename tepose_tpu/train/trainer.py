@@ -163,8 +163,10 @@ def make_train_segment(
     mode: "full" (train), or the measurement ablations used by
     tools/bench_notes.py's train-time breakdown — "forward" runs only the
     loss values (no backward, no updates) and "grad" runs forward+backward
-    but skips the optimizer (grad magnitudes folded into the metrics so
-    XLA cannot dead-code the backward). Both keep the exact window
+    but skips the optimizer (gradients pinned by an optimization_barrier +
+    a one-element read so XLA can neither dead-code nor slice-through the
+    backward, and no measurement-only HBM traffic is added). Both keep the
+    exact window
     assembly and theta-ring recurrence of the real step.
     """
     if mode not in ("full", "grad", "forward"):
@@ -298,9 +300,16 @@ def make_train_segment(
             disc_params, disc_opt = jax.lax.cond(
                 do_disc, disc_update, lambda a: a, (disc_params, disc_opt))
         elif mode == "grad":
-            # consume the gradients so the backward survives DCE
-            metrics_extra["grad_norm_sq"] = sum(
-                jnp.sum(jnp.square(g.astype(jnp.float32)))
+            # Keep the backward alive without adding work the real step
+            # doesn't do: an optimization_barrier forces every gradient
+            # tensor to be fully materialized (XLA cannot slice through
+            # it), then one element per leaf is read. A full square-reduce
+            # here would add ~28 B/param of HBM reads (~0.3 ms/iter at
+            # flagship size) that train_time_breakdown would mis-attribute
+            # to the backward pass.
+            g_gen, g_disc = jax.lax.optimization_barrier((g_gen, g_disc))
+            metrics_extra["grad_keepalive"] = sum(
+                g.ravel()[0].astype(jnp.float32)
                 for t in (g_gen, g_disc)
                 for g in jax.tree_util.tree_leaves(t))
 

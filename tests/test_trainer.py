@@ -347,8 +347,8 @@ def test_train_segment_measurement_modes_agree(rng):
             np.testing.assert_allclose(
                 float(outs[mode][k]), float(outs["full"][k]), rtol=1e-5,
                 err_msg=f"{mode}:{k}")
-    g = float(outs["grad"]["grad_norm_sq"])
-    assert np.isfinite(g) and g > 0
+    g = float(outs["grad"]["grad_keepalive"])
+    assert np.isfinite(g)
 
     import pytest
 

@@ -39,7 +39,7 @@ def _sync_time(fn, *args, reps=6):
     if not _RAMPED["done"]:
         # the first timed loop of a fresh process runs ~2.8x slow regardless
         # of program (device/link ramp — see bench.py `_time_stream` and
-        # BENCH_NOTES.md decision 6); burn it so the FIRST stage measured
+        # BENCH_NOTES.md decision 8); burn it so the FIRST stage measured
         # isn't inflated relative to later ones.
         for _ in range(4):
             out = fn(*args)
@@ -192,16 +192,35 @@ def train_time_breakdown():
 
     Same segment, three builds (trainer.make_train_segment `mode`):
     "forward" = loss values only, "grad" = forward+backward with the
-    gradients consumed into a metric, "full" = the shipped step. The
-    deltas attribute the per-iteration time; all three keep the real
-    window assembly + theta-ring recurrence.
+    gradients barrier-kept-alive, "full" = the shipped step. The deltas
+    attribute the per-iteration time; all three keep the real window
+    assembly + theta-ring recurrence. All three segments are built and
+    warmed FIRST, then their timed reps are interleaved: the attribution
+    lives in 1-3 ms/iter mode differences, and sequential measurements
+    minutes apart would soak link/device drift into exactly those deltas
+    (the effect bench.py's measure_end_to_end interleaving fixed for the
+    output modes).
     """
     sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
-    from bench import measure_training
+    from bench import prepare_training
 
-    fwd = measure_training(num_iters=60, mode="forward")
-    grad = measure_training(num_iters=60, mode="grad")
-    full = measure_training(num_iters=60, mode="full")
+    modes = ("forward", "grad", "full")
+    prepared = {m: prepare_training(num_iters=60, mode=m) for m in modes}
+    # untimed burn cycles: the first timed loop after a compile window runs
+    # far slower than steady state (device/link ramp, BENCH_NOTES
+    # decision 8) — measured 24x on the forward segment once — and the
+    # burn must happen right before timing, not at warmup-compile time
+    for _ in range(2):
+        for run, _ in prepared.values():
+            run()
+    reps = 5
+    times = dict.fromkeys(modes, 0.0)
+    for _ in range(reps):
+        for m, (run, _) in prepared.items():
+            t0 = time.time()
+            run()
+            times[m] += time.time() - t0
+    fwd, grad, full = (prepared[m][1](times[m] / reps) for m in modes)
     ms = lambda r: 1e3 / r["wps"]  # noqa: E731
     return {
         "forward_ms_per_iter": round(ms(fwd), 3),
