@@ -29,9 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tepose_tpu.eval import metrics as M
-from tepose_tpu.models.smpl import (
-    SmplModel, smpl_forward, H36M_TO_J14,
-)
+from tepose_tpu.models.smpl import SmplModel, smpl_forward
 from tepose_tpu.models.tepose import (
     TePoseConfig, VibeConfig, tepose_apply, vibe_apply,
 )
@@ -46,6 +44,11 @@ def _eval_fn_body(smpl: SmplModel, model_cfg: TePoseConfig,
     def eval_fn(gen_params, vibe_params, feats, theta_pseu, theta_gt,
                 j_regressor):
         B, T = feats.shape[:2]
+        if num_windows > T - S + 1:
+            # dynamic_slice clamps out-of-range starts -> silent duplicate
+            # last window; fail loudly instead (static values, trace time)
+            raise ValueError(
+                f"num_windows={num_windows} > T-S+1={T - S + 1} (T={T})")
         jreg = j_regressor if use_j_regressor else None
 
         # ---- VIBE bootstrap over the first window (evaluate.py:233-245) ---
@@ -86,8 +89,14 @@ def _eval_fn_body(smpl: SmplModel, model_cfg: TePoseConfig,
         scan_theta = jnp.swapaxes(scan_theta, 0, 1)
         scan_mpvpe = jnp.swapaxes(scan_mpvpe, 0, 1)
 
-        boot_mpvpe = jnp.stack(
-            [frame_mpvpe(boot_verts[:, i], i) for i in range(S - 1)], axis=1)
+        # bootstrap MPVPE: one batched GT rebuild over all S-1 frames (an
+        # unrolled per-frame loop would embed S-1 separate SMPL graphs)
+        th_boot = theta_gt[:, :S - 1].reshape(B * (S - 1), 85)
+        gt_boot = smpl_forward(smpl, th_boot[:, 75:], th_boot[:, 3:75],
+                               pose2rot=True)["verts"]
+        gt_boot = gt_boot.reshape((B, S - 1) + gt_boot.shape[1:])
+        boot_mpvpe = jnp.sqrt(
+            ((boot_verts - gt_boot) ** 2).sum(-1)).mean(-1)    # (B, S-1)
 
         pred_j3d = jnp.concatenate([boot_j3d, scan_j3d], axis=1)   # (B,T,K,3)
         pred_theta = jnp.concatenate([boot_theta, scan_theta], axis=1)
@@ -208,12 +217,17 @@ class EvalAccumulator:
         tgt = target_j3d - tgt_pel
 
         m2mm = 1000.0
-        errs = np.asarray(M.mpjpe(jnp.asarray(pred), jnp.asarray(tgt)))
-        errs_pa = np.asarray(M.pa_mpjpe(jnp.asarray(pred), jnp.asarray(tgt)))
+        errs, errs_pa = M.host_joint_errors(pred, tgt)
         self.mpjpe.append(errs[valid_map] * m2mm)
         self.pa_mpjpe.append(errs_pa[valid_map] * m2mm)
 
         if mpvpe is not None:
+            # deliberately NOT filtered by valid_map: the reference computes
+            # MPVPE over every frame while filtering mpjpe/pa/accel
+            # (ref: evaluate.py:432 has no [valid_map], :433-436 do), and
+            # test_metric_aggregation_parity pins that quirk. In practice
+            # mpvpe is only used where valid_map covers all frames (3dpw);
+            # callers passing a sparse valid_map should pre-filter.
             self.mpvpe.append(np.asarray(mpvpe) * m2mm)
 
         # accel error: zero-padded at both ends, boundary frames dropped from
@@ -246,7 +260,6 @@ def spin49_to_eval_format(j3d: np.ndarray, dataset: str) -> np.ndarray:
     """
     from tepose_tpu.data.kp_utils import convert_kps
 
-    T = j3d.shape[0]
     if dataset == "mpii3d":
         return convert_kps(j3d, "spin", "mpii3d_test")
     return j3d[:, np.asarray(perm_idxs("spin", "common"))]

@@ -53,6 +53,27 @@ def vertex_error(pred_verts: jnp.ndarray,
     return jnp.sqrt(((pred_verts - target_verts) ** 2).sum(-1)).mean(-1)
 
 
+def host_joint_errors(pred: np.ndarray, target: np.ndarray):
+    """(mpjpe, pa_mpjpe) per frame, computed eagerly ON THE HOST CPU.
+
+    The per-video aggregation loops (EvalAccumulator.add_video,
+    train/validate.py) call this once per video with small (T, K, 3)
+    arrays; letting the eager ops land on the default device would
+    serialize tiny dispatches — and an SVD — against the remote TPU
+    (CLAUDE.md link notes; TPU SVD is also slower/less accurate than
+    LAPACK, see ops/procrustes.py). The reference computes these on
+    host torch tensors too (ref: evaluate.py:417-430).
+    """
+    import jax
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        errs = np.asarray(mpjpe(jnp.asarray(pred), jnp.asarray(target)))
+        errs_pa = np.asarray(
+            pa_mpjpe(jnp.asarray(pred), jnp.asarray(target)))
+    return errs, errs_pa
+
+
 def accel_error_eval(pred: np.ndarray, target: np.ndarray,
                      vis: Optional[np.ndarray] = None) -> np.ndarray:
     """Flat per-frame acceleration error: || d2 pred - d2 target ||.

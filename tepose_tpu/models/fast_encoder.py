@@ -145,7 +145,6 @@ def fast_encoder_window(fast: Dict, feat_proj_win: jnp.ndarray,
         z = jnp.concatenate([recf_seq, recb_scan[::-1]], axis=-1)  # (S,B,2H)
         z_rev = jnp.concatenate([recf_seq[::-1], recb_scan], axis=-1)
 
-        in2h = l["w_hh"].shape[-1] * 2
         # batched lanes: 0 = fwd (input padded H->2H), 1 = rec-f (full seq
         # unless last layer), 2 = rec-b
         fwd_in = jnp.concatenate(
@@ -198,7 +197,6 @@ def fast_encoder_window(fast: Dict, feat_proj_win: jnp.ndarray,
             fwd_seq = ys3[:, 0]
             recf_seq = ys3[:, 1]
             recb_scan = ys3[:, 2]
-            continue
 
     from tepose_tpu.models import layers as L
 

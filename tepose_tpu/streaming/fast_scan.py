@@ -76,6 +76,13 @@ def fast_stream_scan(
     fast = pack_fast_encoder(gen_params["encoder"], cfg.n_layers)
 
     B, T = feats.shape[:2]
+    if num_windows > T - S + 1:
+        # dynamic_slice CLAMPS out-of-range starts, so an inconsistent
+        # caller would silently duplicate the last window instead of
+        # failing — make it loud (both values are static at trace time)
+        raise ValueError(
+            f"num_windows={num_windows} > T-S+1={T - S + 1} "
+            f"(T={T}, seqlen={S})")
     n_lanes, lane_dim = fast["layers"][0]["w_feat"].shape[:2]
     if precompute_projections is None:
         precompute_projections = (

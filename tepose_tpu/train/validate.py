@@ -115,8 +115,7 @@ def validate_epoch(gen_params, smpl, model_cfg: TePoseConfig, valid_loader,
     tgt = tgt - (tgt[:, [2]] + tgt[:, [3]]) / 2.0
 
     m2mm = 1000.0
-    errs = np.asarray(M.mpjpe(jnp.asarray(pred), jnp.asarray(tgt)))
-    errs_pa = np.asarray(M.pa_mpjpe(jnp.asarray(pred), jnp.asarray(tgt)))
+    errs, errs_pa = M.host_joint_errors(pred, tgt)
 
     # accel over the padded per-video tracks
     T_max = max(p.shape[1] for p in pred_tsr)
