@@ -171,8 +171,7 @@ class StreamingEngine:
         so the shard splits evenly."""
         b = 1 << max(b - 1, 0).bit_length()
         if self.mesh is not None:
-            n = self.mesh.devices.size
-            b = max(b, -(-b // n) * n)
+            b = _round_up(b, self.mesh.devices.size)
         return b
 
     # ------------------------------------------------------------------ feats
@@ -220,15 +219,24 @@ class StreamingEngine:
 
     def _extract_features_one_call(self, crops: np.ndarray) -> np.ndarray:
         B = self.crop_batch
-        n_chunks = max(-(-len(crops) // B), 1)
+        if self.mesh is not None:
+            # shard each lax.map chunk's batch axis over the mesh (the
+            # chunk axis itself is a sequential scan and cannot shard);
+            # the per-chunk batch must divide the device count
+            B = _round_up(B, self.mesh.devices.size)
+        n_chunks = max(_round_up(len(crops), B) // B, 1)
         # pad chunk count to a power of two: O(log N) compiled programs
         n_chunks = 1 << (n_chunks - 1).bit_length()
         buf = np.zeros((n_chunks * B,) + crops.shape[1:], crops.dtype)
         buf[:len(crops)] = crops
         fn = self._get_features_fn(
             (n_chunks, crops.dtype.str, str(self.backbone_dtype)))
-        feats = np.asarray(fn(self._bb_flats, jnp.asarray(
-            buf.reshape((n_chunks, B) + crops.shape[1:]))))
+        chunks = jnp.asarray(buf.reshape((n_chunks, B) + crops.shape[1:]))
+        if self.mesh is not None:
+            chunks = jax.device_put(chunks, NamedSharding(
+                self.mesh, P(None, DATA_AXIS,
+                             *([None] * (chunks.ndim - 2)))))
+        feats = np.asarray(fn(self._bb_flats, chunks))
         return feats.reshape(n_chunks * B, -1)[:len(crops)]
 
     def _get_features_fn(self, key):
@@ -333,7 +341,8 @@ class StreamingEngine:
             host = {k: np.asarray(v) for k, v in out_p.items()}
             for b, i in enumerate(idxs_p):
                 T = len(crops_list[i])
-                results[i] = {k: v[b, :T] for k, v in host.items()}
+                # .copy(): a view would pin the whole padded bucket buffer
+                results[i] = {k: v[b, :T].copy() for k, v in host.items()}
 
         for T_pad, idxs in buckets.items():
             B_pad = self._pad_batch(len(idxs))
@@ -345,8 +354,9 @@ class StreamingEngine:
                     pending = None
                 feats = self.extract_features_multi(
                     [crops_list[i] for i in idxs])
-                sub = self._run_tracklets(
-                    feats, [theta_pseu_list[i] for i in idxs])
+                with self.timers.stage("stream"):
+                    sub = self._run_tracklets(
+                        feats, [theta_pseu_list[i] for i in idxs])
                 for out, i in zip(sub, idxs):
                     results[i] = out
                 continue
@@ -383,7 +393,7 @@ class StreamingEngine:
         bbp, packer = self._bb_packer, self._gen_packer
         smpl_template = self.smpl
         chunk = self.crop_batch
-        n_chunks = max(-(-(B_pad * T_pad) // chunk), 1)
+        n_chunks = max(_round_up(B_pad * T_pad, chunk) // chunk, 1)
         bb_dtype = self.backbone_dtype
         mesh = self.mesh
 
@@ -474,11 +484,13 @@ class StreamingEngine:
         def drain(p):
             idxs_p, out_p = p
             # ONE bulk readback per output key (the link charges per call:
-            # per-tracklet sliced reads would cost B x len(out) round trips)
+            # per-tracklet sliced reads would cost B x len(out) round trips).
+            # .copy(): a plain slice would be a VIEW pinning the whole padded
+            # (B_pad, T_pad, ...) bucket buffer alive per result
             host = {k: np.asarray(v) for k, v in out_p.items()}
             for b, i in enumerate(idxs_p):
                 T = len(features_list[i])
-                results[i] = {k: v[b, :T] for k, v in host.items()}
+                results[i] = {k: v[b, :T].copy() for k, v in host.items()}
 
         for T_pad, idxs in buckets.items():
             B = len(idxs)

@@ -98,6 +98,8 @@ class LiveSession:
                  outputs: Tuple[str, ...] = ("theta", "kp_3d"),
                  theta_pseu: Optional[np.ndarray] = None,
                  mesh=None, backbone_dtype=None):
+        if not outputs:
+            raise ValueError("outputs must be non-empty")  # as in the engine
         bad = set(outputs) - set(LIVE_OUTPUTS)
         if bad:
             raise ValueError(f"unknown outputs {sorted(bad)}; "
@@ -135,6 +137,7 @@ class LiveSession:
             # be reset mid-session (tracklet churn in multi-person live)
             "age": np.zeros((B,), np.int32),
         }
+        self._carry0 = carry0  # kept for recovery after an interrupted step
         theta_ring_init = jnp.asarray(theta_ring0)
 
         smpl_t = smpl
@@ -217,8 +220,9 @@ class LiveSession:
                                 for f in w_packer.pack_np(weights))
             self._c_packer = FlatPacker(carry0)
             c_packer = self._c_packer
-            self._carry = tuple(jax.device_put(jnp.asarray(f))
-                                for f in c_packer.pack_np(carry0))
+            self._place_carry = lambda c0: tuple(
+                jax.device_put(jnp.asarray(f)) for f in c_packer.pack_np(c0))
+            self._carry = self._place_carry(carry0)
             self._x_place = jnp.asarray
 
             def one_step(w_flats, c_flats, x, reset):
@@ -249,8 +253,10 @@ class LiveSession:
                      "theta_ring": P(axis), "age": P(axis)}
             self._w_arg = jax.tree_util.tree_map(
                 lambda a: jax.device_put(jnp.asarray(a), ns(P())), weights)
-            self._carry = {k: jax.device_put(jnp.asarray(v), ns(specs[k]))
-                           for k, v in carry0.items()}
+            self._place_carry = lambda c0: {
+                k: jax.device_put(jnp.asarray(v), ns(specs[k]))
+                for k, v in c0.items()}
+            self._carry = self._place_carry(carry0)
             x_sh, r_sh = ns(P(axis)), ns(P(axis))
             self._x_place = lambda x: jax.device_put(jnp.asarray(x), x_sh)
             self._r_place = lambda r: jax.device_put(r, r_sh)
@@ -301,6 +307,11 @@ class LiveSession:
         reset: optional (B,) bool — streams to re-seed to fresh-session
         state BEFORE this frame (a new person entered the slot); their
         current frame is processed as the new tracklet's frame 0.
+
+        If the device step raises (KeyboardInterrupt, transient device
+        error), the donated carry cannot be recovered: all streams are
+        re-seeded to fresh-session state and the exception propagates —
+        the session object itself stays usable.
         """
         if x.shape[0] != self.n_streams:
             raise ValueError(f"expected {self.n_streams} streams, "
@@ -308,13 +319,23 @@ class LiveSession:
         xd = self._x_place(x)
         if not self._reset_warm:
             self._warm_reset_step(xd)
-        if reset is not None and np.any(reset):
-            r = self._place_reset(jnp.asarray(np.asarray(reset, bool)))
-            self._carry, outs, live = self._step_reset(
-                self._w_arg, self._carry, xd, r)
-        else:
-            self._carry, outs, live = self._step(
-                self._w_arg, self._carry, xd)
+        try:
+            if reset is not None and np.any(reset):
+                r = self._place_reset(jnp.asarray(np.asarray(reset, bool)))
+                self._carry, outs, live = self._step_reset(
+                    self._w_arg, self._carry, xd, r)
+            else:
+                self._carry, outs, live = self._step(
+                    self._w_arg, self._carry, xd)
+        except BaseException:
+            # the step donates the carry; an exception mid-dispatch
+            # (KeyboardInterrupt — the documented live-session exit — or a
+            # transient device error) would otherwise leave self._carry
+            # pointing at donated buffers and brick every later push.
+            # Re-seed all streams to fresh-session state so the session
+            # object stays usable, then surface the original error.
+            self._carry = self._place_carry(self._carry0)
+            raise
         res = {k: np.asarray(v) for k, v in outs.items()}
         res["valid"] = np.asarray(live)
         return res

@@ -142,6 +142,18 @@ def test_mesh_sharded_streaming_matches_single(rng):
         np.testing.assert_allclose(fb[0][k], fa[0][k], rtol=1e-4, atol=1e-4,
                                    err_msg=k)
 
+    # long-video two-stage fallback on the mesh engine: the chunked
+    # backbone's per-chunk batch axis shards over the devices (a plain
+    # unsharded upload would run it replicated on every chip)
+    single.max_frames_per_call = sharded.max_frames_per_call = 16
+    c_long = [(rng.rand(20, 3, 64, 64) * 255).astype(np.uint8)]
+    ga = single.run_tracklets_from_crops(c_long)
+    gb = sharded.run_tracklets_from_crops(c_long)
+    for k in ga[0]:
+        np.testing.assert_allclose(gb[0][k], ga[0][k], rtol=1e-4, atol=1e-4,
+                                   err_msg=f"fallback/{k}")
+    assert "stream" in sharded.timings  # fallback scan is stage-attributed
+
 
 def test_backbone_bf16_close_to_f32(rng):
     """bf16 backbone mode (the demo --precision bf16 knob) stays within

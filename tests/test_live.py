@@ -70,6 +70,8 @@ def test_live_session_rejects_bad_args():
     smpl, mcfg, vcfg, tp, vp, _ = _models()
     with pytest.raises(ValueError, match="unknown outputs"):
         LiveSession(smpl, tp, vp, mcfg, vcfg, outputs=("bogus",))
+    with pytest.raises(ValueError, match="non-empty"):
+        LiveSession(smpl, tp, vp, mcfg, vcfg, outputs=())
     with pytest.raises(ValueError, match="causal"):
         LiveSession(smpl, tp, vp, mcfg,
                     VibeConfig(seqlen=6, n_layers=1, hidden_size=16,
@@ -77,6 +79,34 @@ def test_live_session_rejects_bad_args():
     live = LiveSession(smpl, tp, vp, mcfg, vcfg, n_streams=2)
     with pytest.raises(ValueError, match="streams"):
         live.push(np.zeros((1, 2048), np.float32))
+
+
+def test_live_session_survives_interrupted_step(rng):
+    """An exception inside the (carry-donating) device step must not brick
+    the session: the carry is re-seeded and later pushes keep working."""
+    smpl, mcfg, vcfg, tp, vp, _ = _models()
+    live = LiveSession(smpl, tp, vp, mcfg, vcfg, n_streams=2)
+    x = rng.randn(2, 2048).astype(np.float32) * 0.1
+    for _ in range(mcfg.seqlen):
+        out = live.push(x)
+    assert out["valid"].all()  # streams warmed past the bootstrap
+
+    orig = live._step
+
+    def boom(*a, **k):
+        raise KeyboardInterrupt
+
+    live._step = boom
+    with pytest.raises(KeyboardInterrupt):
+        live.push(x)
+    live._step = orig
+
+    out = live.push(x)  # session still usable...
+    assert not out["valid"].any()  # ...but streams were re-seeded to fresh
+    assert np.isfinite(out["theta"]).all()
+    for _ in range(mcfg.seqlen):
+        out = live.push(x)
+    assert out["valid"].all()
 
 
 def test_live_per_stream_reset(rng):
