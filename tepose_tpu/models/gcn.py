@@ -72,16 +72,26 @@ def bn_apply(params: Params, state: State, x: jnp.ndarray, channel_axis: int,
         m = row_mask.astype(jnp.float32).reshape(
             (-1,) + (1,) * (x.ndim - 1))
         per_row_elems = x.size / (x.shape[0] * x.shape[channel_axis])
-        n = jnp.maximum(row_mask.astype(jnp.float32).sum() * per_row_elems,
-                        1.0)
+        cnt = row_mask.astype(jnp.float32).sum()
+        n = jnp.maximum(cnt * per_row_elems, 1.0)
         mean = (xf * m).sum(axis=axes) / n
         var = (((xf - mean.reshape(shape)) ** 2) * m).sum(axis=axes) / n
         unbiased = var * n / jnp.maximum(n - 1, 1.0)
+        # all-rows-masked: the reference SKIPS the discriminator forward
+        # entirely when the filtered batch is empty (ref: loss.py:137,
+        # trainer.py:239 guard), so the running stats must not move —
+        # blending in the masked mean=0/var=0 would decay them toward zero
+        # by BN_MOMENTUM on every empty step
+        any_rows = cnt > 0
         new_state = {
-            "running_mean": (1 - BN_MOMENTUM) * state["running_mean"]
-            + BN_MOMENTUM * mean,
-            "running_var": (1 - BN_MOMENTUM) * state["running_var"]
-            + BN_MOMENTUM * unbiased,
+            "running_mean": jnp.where(
+                any_rows,
+                (1 - BN_MOMENTUM) * state["running_mean"]
+                + BN_MOMENTUM * mean, state["running_mean"]),
+            "running_var": jnp.where(
+                any_rows,
+                (1 - BN_MOMENTUM) * state["running_var"]
+                + BN_MOMENTUM * unbiased, state["running_var"]),
         }
     elif train:
         mean = xf.mean(axis=axes)

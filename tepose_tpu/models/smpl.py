@@ -152,17 +152,31 @@ def _default_joint_map() -> tuple:
     return tuple(JOINT_MAP[name] for name in JOINT_NAMES)
 
 
-def load_smpl_assets(npz_path: str) -> SmplModel:
-    """Load a converted SMPL `.npz` (see tools/convert_smpl.py)."""
+def load_smpl_assets(npz_path: str,
+                     allow_missing_extra: bool = False) -> SmplModel:
+    """Load a converted SMPL `.npz` (see tools/convert_smpl.py).
+
+    The extra-joint regressor is REQUIRED by default: without it, joints
+    45-53 of the 49-joint output (incl. the hips used for pelvis
+    alignment in the 3D losses) would silently be zeros and training/eval
+    would run to completion with wrecked supervision. Pass
+    `allow_missing_extra=True` only for 24-joint-only use cases.
+    """
     with np.load(npz_path) as z:
         def f32(k):
             return jnp.asarray(z[k], dtype=jnp.float32)
 
-        j_extra = (
-            jnp.asarray(z["j_regressor_extra"], jnp.float32)
-            if "j_regressor_extra" in z
-            else jnp.zeros((9, z["v_template"].shape[0]), jnp.float32)
-        )
+        if "j_regressor_extra" in z:
+            j_extra = jnp.asarray(z["j_regressor_extra"], jnp.float32)
+        elif allow_missing_extra:
+            j_extra = jnp.zeros((9, z["v_template"].shape[0]), jnp.float32)
+        else:
+            raise KeyError(
+                f"{npz_path} has no 'j_regressor_extra' — re-run "
+                "tools/convert_smpl.py with --j-regressor-extra "
+                "J_regressor_extra.npy (ref: lib/models/smpl.py:61-84); "
+                "without it joints 45-53 of the 49-joint output are zeros. "
+                "Pass allow_missing_extra=True to load anyway.")
         return SmplModel(
             v_template=f32("v_template"),
             shapedirs=f32("shapedirs")[..., :NUM_BETAS],

@@ -319,7 +319,7 @@ def make_train_segment(
         theta_buf = jnp.where(valid[:, None, None] > 0, shifted, theta_buf)
 
         metrics = {"gen_loss": gen_loss, "dis_loss": dis_loss,
-                   **{k: v for k, v in ld.items()}, **metrics_extra}
+                   **ld, **metrics_extra}
         return (gen_params, disc_params, disc_state, gen_opt, disc_opt,
                 theta_buf, batch_2d, batch_3d), metrics
 

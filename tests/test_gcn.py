@@ -87,6 +87,31 @@ def test_bn_matches_torch(rng):
                                atol=1e-5)
 
 
+def test_bn_all_masked_rows_keep_running_stats(rng):
+    """An all-zero row_mask must leave the running stats untouched: the
+    reference SKIPS the discriminator forward when the filtered batch is
+    empty (ref: loss.py:137, trainer.py:239), so the stats never see an
+    empty batch there — blending in the masked mean=0/var=0 would decay
+    them toward zero by BN_MOMENTUM on every empty scan step."""
+    x = rng.randn(4, 8, 6, 24).astype(np.float32)
+    params, state = G.bn_init(8)
+    state = {"running_mean": state["running_mean"] + 2.0,
+             "running_var": state["running_var"] + 3.0}
+
+    _, st0 = G.bn_apply(params, state, jnp.asarray(x), 1, train=True,
+                        row_mask=jnp.zeros((4,)))
+    np.testing.assert_array_equal(np.asarray(st0["running_mean"]),
+                                  np.asarray(state["running_mean"]))
+    np.testing.assert_array_equal(np.asarray(st0["running_var"]),
+                                  np.asarray(state["running_var"]))
+
+    # a non-empty mask must still update (sanity that the fix is gated)
+    _, st1 = G.bn_apply(params, state, jnp.asarray(x), 1, train=True,
+                        row_mask=jnp.asarray([1.0, 1.0, 0.0, 0.0]))
+    assert not np.allclose(np.asarray(st1["running_mean"]),
+                           np.asarray(state["running_mean"]))
+
+
 def test_temporal_conv_matches_torch(rng):
     x = rng.randn(2, 3, 6, 24).astype(np.float32)
     params, state = G.temporal_conv_init(jax.random.PRNGKey(0), 3, 16, 1)

@@ -91,9 +91,19 @@ def convert(pkl_path: str, out_path: str,
         "parents": parents.astype(np.int32),
         "faces": faces,
     }
-    if j_regressor_extra and osp.isfile(j_regressor_extra):
+    if j_regressor_extra:
+        if not osp.isfile(j_regressor_extra):
+            # a silent skip here would produce an npz load_smpl_assets
+            # rejects (extra joints 45-53 would be zeros) — fail at the
+            # conversion step where the typo is fixable
+            raise FileNotFoundError(
+                f"--j-regressor-extra: {j_regressor_extra!r} not found")
         out["j_regressor_extra"] = np.load(j_regressor_extra).astype(
             np.float32)
+    else:
+        print("warning: no --j-regressor-extra given; the output npz will "
+              "need load_smpl_assets(allow_missing_extra=True) and extra "
+              "joints 45-53 will be zeros")
 
     os.makedirs(osp.dirname(out_path) or ".", exist_ok=True)
     np.savez(out_path, **out)
