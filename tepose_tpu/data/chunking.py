@@ -117,6 +117,13 @@ def combine_into_chunks(vid_names: np.ndarray, seqlen: int,
     for idx in groups:
         start, end = int(idx[0]), int(idx[-1])
         slots = (end - start + 1) - seqlen + 1
+        if slots <= 0:
+            # a clip shorter than seqlen cannot fill one window; packing it
+            # would move the channel offset BACKWARD and overwrite the
+            # previous clip's frames. The reference misses this guard (its
+            # combine_into_chunks would corrupt the same way); the 3D path's
+            # split_into_videos shows the intended drop.
+            continue
         if used + slots < budget:
             cur.append([start, end])
             used += slots

@@ -41,8 +41,6 @@ def _get_sequence(data: np.ndarray, start: int, end: int,
 class Dataset3D:
     """Whole-video items from a 3D dataset DB (ref: dataset_3d.py:35-343)."""
 
-    KP_SRC = {"3dpw": "common", "mpii3d": None, "h36m": None}
-
     def __init__(self, load_opt: str, split: str, seqlen: int, vidlen: int,
                  dataset_name: str, db_dir: Optional[str] = None,
                  db: Optional[Dict] = None,
@@ -204,11 +202,16 @@ class Dataset2D:
             theta_pseu[ch, off:off + ln, 3:] = pse[:, 3:]
             theta_pseu[ch, off:off + ln, 0] = 1.0
             # active-timeline keypoints: first clip full, later clips minus
-            # the first seqlen-1 overlap frames (ref: dataset_2d.py:118-127)
+            # the first seqlen-1 overlap frames (ref: dataset_2d.py:118-127).
+            # Direct slices, NOT _get_sequence: its start==end repeat branch
+            # would emit seqlen rows where one belongs for a later clip of
+            # exactly seqlen frames (s_kp == e), shifting every following
+            # clip's keypoints off their timeline slots — a silent-data-
+            # corruption bug the reference's get_sequence shares.
             s_kp = s if k == 0 else s + S - 1
-            kp_parts.append(seq(self.db["joints2D"], s_kp, e))
+            kp_parts.append(np.asarray(self.db["joints2D"][s_kp:e + 1]))
             if has_bbox:
-                bbox_parts.append(seq(self.db["bbox"], s_kp, e))
+                bbox_parts.append(np.asarray(self.db["bbox"][s_kp:e + 1]))
 
         kp_2d = np.concatenate(kp_parts, axis=0).astype(np.float32)
         if self.dataset_name != "posetrack":
@@ -262,10 +265,14 @@ class Insta(Dataset2D):
                 "bbox": f["bbox"] if "bbox" in f else None,
             }
             # pseudo-thetas live in a sidecar joblib like the other datasets
-            # (ref: pseudo_theta.py writes insta_train_pseudotheta.pt)
-            pse_path = path.replace("_db.h5", "_pseudotheta.pt")
+            # (ref: pseudo_theta.py writes insta_train_pseudotheta.pt);
+            # only look for the sidecar when the path follows the *_db.h5
+            # convention — replace() on any other name is a no-op and would
+            # joblib.load the h5 file itself
+            pse_path = (path[:-len("_db.h5")] + "_pseudotheta.pt"
+                        if path.endswith("_db.h5") else None)
             if psetheta is None:
-                if osp.isfile(pse_path):
+                if pse_path and osp.isfile(pse_path):
                     psetheta = joblib.load(pse_path)
                 elif "theta_pseu" in f:
                     psetheta = np.asarray(f["theta_pseu"])

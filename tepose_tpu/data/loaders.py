@@ -23,11 +23,21 @@ def stack_items(items: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]
             for k in items[0].keys()}
 
 
+class _ProducerFailure:
+    """Sentinel carrying a producer-thread exception to the consumer."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class BatchLoader:
     """Shuffled, infinitely-cycling batch iterator with thread prefetch."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, prefetch: int = 2, drop_last: bool = True):
+        if batch_size <= 0:
+            raise ValueError(f"batch_size must be >= 1, got {batch_size} "
+                             "(degenerate 2D/3D batch split?)")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -50,17 +60,22 @@ class BatchLoader:
         return idx
 
     def _producer(self) -> None:
-        while not self._stop.is_set():
-            order = self._epoch_order()
-            nb = len(self)
-            for b in range(nb):
-                if self._stop.is_set():
-                    return
-                sel = order[b * self.batch_size:(b + 1) * self.batch_size]
-                if len(sel) < self.batch_size and self.drop_last:
-                    continue
-                batch = stack_items([self.dataset[int(i)] for i in sel])
-                self._queue.put(batch)
+        try:
+            while not self._stop.is_set():
+                order = self._epoch_order()
+                nb = len(self)
+                for b in range(nb):
+                    if self._stop.is_set():
+                        return
+                    sel = order[b * self.batch_size:
+                                (b + 1) * self.batch_size]
+                    batch = stack_items([self.dataset[int(i)] for i in sel])
+                    self._queue.put(batch)
+        except BaseException as e:  # noqa: BLE001
+            # a dead producer would leave the consumer blocked on
+            # queue.get() forever with no traceback — ship the exception
+            # to the consumer instead
+            self._queue.put(_ProducerFailure(e))
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         if len(self) == 0:
@@ -75,7 +90,13 @@ class BatchLoader:
                                             daemon=True)
             self._thread.start()
         while True:
-            yield self._queue.get()
+            item = self._queue.get()
+            if isinstance(item, _ProducerFailure):
+                self._thread = None  # a later __iter__ restarts the producer
+                raise RuntimeError(
+                    "batch producer thread failed while assembling a "
+                    "batch") from item.exc
+            yield item
 
     def close(self) -> None:
         self._stop.set()
@@ -132,14 +153,25 @@ def get_data_loaders(cfg, db_overrides: Optional[Dict] = None):
             off = i - (self.cum[p - 1] if p else 0)
             return self.parts[p][int(off)]
 
-    n_2d = int(round(cfg.TRAIN.BATCH_SIZE * cfg.TRAIN.DATA_2D_RATIO))
+    # truncating int(), not round(): the reference's split recipe
+    # (ref: loaders.py:85-86); at 0.55*32 they differ (17 vs 18)
+    n_2d = int(cfg.TRAIN.BATCH_SIZE * cfg.TRAIN.DATA_2D_RATIO)
     n_3d = cfg.TRAIN.BATCH_SIZE - n_2d
+    if n_2d <= 0 or n_3d <= 0:
+        raise ValueError(
+            f"degenerate 2D/3D batch split: BATCH_SIZE="
+            f"{cfg.TRAIN.BATCH_SIZE} x DATA_2D_RATIO="
+            f"{cfg.TRAIN.DATA_2D_RATIO} -> n_2d={n_2d}, n_3d={n_3d}; the "
+            "trainer consumes mixed batches, so both must be >= 1")
+    if not cfg.TRAIN.DATASETS_2D:
+        raise ValueError(
+            "TRAIN.DATASETS_2D is empty but the trainer draws "
+            f"{n_2d} 2D rows per batch — add a 2D dataset or use a "
+            "config with one (all reference configs do)")
 
-    train_2d = None
-    if cfg.TRAIN.DATASETS_2D:
-        ds2 = Concat([make(n, True) for n in cfg.TRAIN.DATASETS_2D])
-        train_2d = BatchLoader(ds2, n_2d, seed=cfg.SEED_VALUE + 1
-                               if cfg.SEED_VALUE >= 0 else 1)
+    ds2 = Concat([make(n, True) for n in cfg.TRAIN.DATASETS_2D])
+    train_2d = BatchLoader(ds2, n_2d, seed=cfg.SEED_VALUE + 1
+                           if cfg.SEED_VALUE >= 0 else 1)
 
     ds3 = Concat([make(n, False) for n in cfg.TRAIN.DATASETS_3D])
     train_3d = BatchLoader(ds3, n_3d, seed=cfg.SEED_VALUE + 2
@@ -149,7 +181,7 @@ def get_data_loaders(cfg, db_overrides: Optional[Dict] = None):
     if "amass" in over:
         amass_kw["db"] = over["amass"][0]
     disc = BatchLoader(D.AMASS(seqlen, **amass_kw), cfg.TRAIN.BATCH_SIZE,
-                       seed=3)
+                       seed=cfg.SEED_VALUE + 3 if cfg.SEED_VALUE >= 0 else 3)
 
     eval_name = cfg.TRAIN.DATASET_EVAL
     eval_kw = {}

@@ -111,6 +111,16 @@ def test_combine_into_chunks_packing():
     assert items[1] == [[16, 23]]
 
 
+def test_combine_into_chunks_drops_short_clips():
+    """Clips shorter than seqlen have <= 0 timeline slots; packing one would
+    move the channel offset backward and overwrite the previous clip."""
+    names = _names([8, 3, 1, 8])  # the 3- and 1-frame clips must vanish
+    items = C.combine_into_chunks(names, seqlen=6, vidlen=12)
+    flat = [c for item in items for c in item]
+    assert [8, 11] not in flat and [11, 11] not in flat
+    assert flat == [[0, 7], [12, 19]]
+
+
 def test_pack_clip_channels_layout():
     layout, switch_id, total = C.pack_clip_channels([8, 8], seqlen=6,
                                                     vidlen=12)

@@ -89,6 +89,58 @@ def test_dataset2d_item(rng):
     assert item["theta_pseu"][0, 0, 0] == 1.0
 
 
+def test_dataset2d_seqlen_length_clip_keeps_kp_aligned(rng):
+    """A later clip of exactly seqlen frames contributes exactly ONE active
+    timeline frame; the reference's get_sequence repeat-branch would emit
+    seqlen rows there and shift every following clip's keypoints."""
+    db, pse = synthetic_2d_db(rng, clips=((8, "x"), (6, "y"), (8, "z")))
+    ds = Dataset2D("repr_wopw_3dpw_model", seqlen=6, vidlen=20,
+                   dataset_name="posetrack", db=db, psetheta=pse)
+    item = ds[0]
+    # kp timeline rows: clip x full (8) + clip y's single non-overlap row
+    # (1) + clip z minus the seqlen-1 overlap (3) = 12 == vidlen_each; with
+    # the repeat-branch bug clip y contributes 6 rows and everything after
+    # shifts by 5
+    total = int(item["vidlen_each"])
+    assert total == 12
+    np.testing.assert_array_equal(item["kp_2d"][total:],
+                                  np.ones_like(item["kp_2d"][total:]))
+    # the last clip's final keypoint row must land at timeline slot
+    # total-1, i.e. come from DB row 21 (clip z's last frame)
+    from tepose_tpu.data.transforms import (
+        normalize_2d_kp, transform_keypoints)
+    expect = db["joints2D"][21].copy()
+    expect[..., :2] = normalize_2d_kp(transform_keypoints(
+        expect[None, ..., :2], db["bbox"][21][None]))[0]
+    np.testing.assert_allclose(item["kp_2d"][total - 1], expect, atol=1e-5)
+
+
+def test_batchloader_surfaces_producer_failure():
+    class Boom:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            raise IndexError("malformed DB row")
+
+    loader = BatchLoader(Boom(), batch_size=2, seed=0)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="producer"):
+        next(iter(loader))
+    loader.close()
+
+
+def test_get_data_loaders_degenerate_split_raises(rng):
+    import pytest
+
+    cfg = get_cfg_defaults()
+    cfg.TRAIN.BATCH_SIZE = 4
+    cfg.TRAIN.DATA_2D_RATIO = 1.0  # n_3d = 0
+    with pytest.raises(ValueError, match="degenerate"):
+        get_data_loaders(cfg)
+
+
 def test_amass_items(rng):
     total = 40
     db = {

@@ -42,7 +42,7 @@ def synthetic_loaders(cfg, seed=0):
     # synthetic DB size for long-VIDLEN configs)
     clip_len = max(2 * sl, vl // 8)
     clips_per_item = -(-(vl - sl + 2) // (clip_len - sl + 1))
-    n_2d = int(round(cfg.TRAIN.BATCH_SIZE * cfg.TRAIN.DATA_2D_RATIO))
+    n_2d = int(cfg.TRAIN.BATCH_SIZE * cfg.TRAIN.DATA_2D_RATIO)  # ref trunc
     n_clips = max(20, (n_2d + 2) * clips_per_item)
     db3, pse3 = synthetic_3d_db(
         rs, videos=tuple((vl + 10, f"v{i}") for i in range(n_videos)))
@@ -167,7 +167,7 @@ def main():
     # data -----------------------------------------------------------------
     loaders = synthetic_loaders(cfg) if synthetic else get_data_loaders(cfg)
 
-    n_2d = int(round(cfg.TRAIN.BATCH_SIZE * cfg.TRAIN.DATA_2D_RATIO))
+    n_2d = int(cfg.TRAIN.BATCH_SIZE * cfg.TRAIN.DATA_2D_RATIO)  # ref trunc
     hp = TrainHyper(
         seqlen=cfg.DATASET.SEQLEN, n_2d=n_2d,
         n_3d=cfg.TRAIN.BATCH_SIZE - n_2d,
