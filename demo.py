@@ -605,6 +605,13 @@ def main():
     for f_idx in range(num_frames):
         img = (np.zeros_like(frames[f_idx]) if args.render_plain
                else frames[f_idx].copy())
+        # side view: ONE canvas per frame, all persons rendered into it,
+        # concatenated once AFTER the person loop (ref: demo.py:409-420) —
+        # concatenating per person would widen multi-person frames
+        # per person and leave person-free frames at the original width,
+        # and cv2.VideoWriter silently drops frames whose size differs
+        side_img = np.zeros_like(img) if args.sideview else None
+        rot90 = np.array([[0, 0, -1], [0, 1, 0], [1, 0, 0]], np.float32)
         for pid, pd in frame_results[f_idx].items():
             if args.wireframe:
                 from tepose_tpu.utils.vis import draw_wireframe
@@ -613,13 +620,11 @@ def main():
             else:
                 img = render_mesh(pd["verts"], faces, pd["cam"], img)
             if args.sideview:
-                side_img = np.zeros_like(img)
-                rot90 = np.array([[0, 0, -1], [0, 1, 0], [1, 0, 0]],
-                                 np.float32)
                 side_verts = pd["verts"] @ rot90.T
                 side_img = render_mesh(side_verts, faces, pd["cam"],
                                        side_img)
-                img = np.concatenate([img, side_img], axis=1)
+        if args.sideview:
+            img = np.concatenate([img, side_img], axis=1)
         out_frames.append(img)
         if display:
             import cv2
@@ -633,7 +638,8 @@ def main():
         obj_dir = osp.join(args.output_folder, f"{base}_obj")
         os.makedirs(obj_dir, exist_ok=True)
         for pid, pd in results.items():
-            for i, f_idx in enumerate(pd["frame_ids"][:5]):
+            # every frame, as the reference does (ref: demo.py:395-398)
+            for i, f_idx in enumerate(pd["frame_ids"]):
                 path = osp.join(obj_dir, f"p{pid}_f{int(f_idx):06d}.obj")
                 with open(path, "w") as f:
                     for v in pd["verts"][i]:

@@ -102,6 +102,10 @@ def synthetic_eval_data(num_videos=3, min_len=40, max_len=90, seed=0):
     data = {}
     for i in range(num_videos):
         n = int(rs.randint(min_len, max_len))
+        # valid_i: per-frame validity the mpii3d eval branch consumes
+        # (ref: evaluate.py:397); a hole in the middle exercises the mask
+        valid = np.ones((n, 1), np.int64)
+        valid[n // 2:n // 2 + 3] = 0
         data[f"synthetic_vid_{i}"] = {
             "features": rs.randn(n, 2048).astype(np.float32) * 0.1,
             "joints3D": rs.randn(n, 49, 3).astype(np.float32) * 0.2,
@@ -110,6 +114,7 @@ def synthetic_eval_data(num_videos=3, min_len=40, max_len=90, seed=0):
                  rs.randn(n, 82) * 0.1], axis=1).astype(np.float32),
             "pose": (rs.randn(n, 72) * 0.2).astype(np.float32),
             "shape": (rs.randn(n, 10) * 0.2).astype(np.float32),
+            "valid_i": valid,
         }
     return data
 
@@ -406,17 +411,26 @@ def main():
     synthetic = "--synthetic" in sys.argv
     if synthetic:
         sys.argv.remove("--synthetic")
+    def take_value(flag):
+        i = sys.argv.index(flag)
+        if i + 1 >= len(sys.argv):
+            sys.exit(f"{flag} needs a value")
+        v = sys.argv[i + 1]
+        del sys.argv[i:i + 2]
+        return v
+
     precision = "tensorfloat32"
     if "--precision" in sys.argv:
-        i = sys.argv.index("--precision")
-        precision = sys.argv[i + 1]
-        del sys.argv[i:i + 2]
+        precision = take_value("--precision")
     devices = 1
     if "--devices" in sys.argv:
-        i = sys.argv.index("--devices")
-        devices = sys.argv[i + 1]
-        del sys.argv[i:i + 2]
-        devices = len(jax.devices()) if devices == "auto" else int(devices)
+        devices = take_value("--devices")
+        try:
+            devices = (len(jax.devices()) if devices == "auto"
+                       else int(devices))
+        except ValueError:
+            sys.exit(f"--devices expects an integer or 'auto', "
+                     f"got {devices!r}")
     cfg, cfg_file, args = parse_args()
     with precision_scope(precision):
         return run_eval(cfg, args, synthetic=synthetic, devices=devices)

@@ -66,16 +66,31 @@ def unflatten_tree(flat: Dict[str, np.ndarray]) -> Any:
     return listify(root)
 
 
+def _json_sidecar(path: str) -> str:
+    """checkpoint.npz -> checkpoint.json (extension only — str.replace
+    would also rewrite '.npz' inside directory names)."""
+    return os.path.splitext(path)[0] + ".json"
+
+
 def save_checkpoint(path: str, trees: Dict[str, Any],
                     scalars: Optional[Dict[str, Any]] = None) -> None:
-    """Save named pytrees + scalar metadata. `path` ends in .npz."""
+    """Save named pytrees + scalar metadata. `path` ends in .npz.
+
+    Writes are atomic (tmp + os.replace): checkpoint.npz is the artifact
+    NaN rollback and --resume depend on — an interrupt mid-save must not
+    leave a truncated file in its place.
+    """
     flat: Dict[str, np.ndarray] = {}
     for name, tree in trees.items():
         flat.update(flatten_tree(jax.device_get(tree), name))
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.savez(path, **flat)
-    with open(path.replace(".npz", ".json"), "w") as f:
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **flat)
+    os.replace(tmp, path)
+    meta = _json_sidecar(path)
+    with open(meta + ".tmp", "w") as f:
         json.dump(scalars or {}, f, indent=2)
+    os.replace(meta + ".tmp", meta)
 
 
 def load_checkpoint(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
@@ -83,7 +98,7 @@ def load_checkpoint(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     with np.load(path, allow_pickle=False) as z:
         flat = {k: z[k] for k in z.files}
     tree = unflatten_tree(flat)
-    meta_path = path.replace(".npz", ".json")
+    meta_path = _json_sidecar(path)
     scalars = {}
     if os.path.isfile(meta_path):
         with open(meta_path) as f:
@@ -95,7 +110,7 @@ def mark_best(logdir: str) -> None:
     """Copy checkpoint.npz -> model_best.npz (ref: trainer.py:411-414)."""
     src = os.path.join(logdir, "checkpoint.npz")
     shutil.copyfile(src, os.path.join(logdir, "model_best.npz"))
-    meta = src.replace(".npz", ".json")
+    meta = _json_sidecar(src)
     if os.path.isfile(meta):
         shutil.copyfile(meta, os.path.join(logdir, "model_best.json"))
 

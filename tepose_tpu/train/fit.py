@@ -137,7 +137,10 @@ class TrainLoop:
             mvec = np.asarray(mvec)
             names = self.segment.metric_names()
             last_metrics = dict(zip(names, mvec.tolist()))
-            losses.update(last_metrics["gen_loss"])
+            if np.isfinite(last_metrics["gen_loss"]):
+                # a single NaN segment would poison the meter for the rest
+                # of the epoch even after NaNGuard rolls back successfully
+                losses.update(last_metrics["gen_loss"])
             self.writer.add_scalars(last_metrics, self.global_step,
                                     prefix="train_loss/")
             if self.cfg.DEBUG and \
@@ -273,6 +276,12 @@ class TrainLoop:
     def save(self, epoch: int, performance: float) -> None:
         self._sync_carry_to_host()
         path = osp.join(self.logdir, "checkpoint.npz")
+        # update best BEFORE the (single) save so the written metadata is
+        # final — a second full-npz rewrite just to refresh one scalar
+        # would double the checkpoint I/O on every improving epoch
+        is_best = performance < self.best_performance
+        if is_best:
+            self.best_performance = performance
         ckpt.save_checkpoint(
             path,
             {"gen": self.gen_params, "disc": self.disc_params,
@@ -282,19 +291,8 @@ class TrainLoop:
             {"epoch": epoch, "performance": self.best_performance,
              "gen_sched": self.gen_sched.state_dict(),
              "disc_sched": self.disc_sched.state_dict()})
-        if performance < self.best_performance:
+        if is_best:
             self.logger.info("Best performance achieved, saving it!")
-            self.best_performance = performance
-            # refresh metadata before copying
-            ckpt.save_checkpoint(
-                path,
-                {"gen": self.gen_params, "disc": self.disc_params,
-                 "disc_state": self.disc_state,
-                 "gen_opt": _opt_to_tree(self.gen_opt),
-                 "disc_opt": _opt_to_tree(self.disc_opt)},
-                {"epoch": epoch, "performance": self.best_performance,
-                 "gen_sched": self.gen_sched.state_dict(),
-                 "disc_sched": self.disc_sched.state_dict()})
             ckpt.mark_best(self.logdir)
             with open(osp.join(self.logdir, "best.txt"), "w") as f:
                 f.write(str(float(performance)))
