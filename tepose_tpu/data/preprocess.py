@@ -69,11 +69,8 @@ class FeatureExtractor:
 
             def one(c):
                 if c.dtype == jnp.uint8:  # on-device ImageNet normalisation
-                    mean = jnp.asarray([0.485, 0.456, 0.406],
-                                       jnp.float32).reshape(1, 3, 1, 1)
-                    std = jnp.asarray([0.229, 0.224, 0.225],
-                                      jnp.float32).reshape(1, 3, 1, 1)
-                    c = (c.astype(jnp.float32) / 255.0 - mean) / std
+                    from tepose_tpu.models.backbone import normalize_crop
+                    c = normalize_crop(c)
                 return resnet50_features(params, c)
 
             chunked = crops.reshape((n_chunks, conv_chunk) + crops.shape[1:])

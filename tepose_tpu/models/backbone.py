@@ -52,10 +52,8 @@ def convert_torch_resnet50(sd: Dict) -> Dict:
     w, b = _fold_bn(np_("conv1.weight"), bn("bn1"))
     params["stem"] = {"w": jnp.asarray(w), "b": jnp.asarray(b)}
 
-    inplanes = 64
     for li, blocks in enumerate(BOTTLENECK_LAYERS, start=1):
         layer = []
-        planes = 64 * 2 ** (li - 1)
         for bi in range(blocks):
             p = f"layer{li}.{bi}"
             blk = {}
@@ -68,7 +66,6 @@ def convert_torch_resnet50(sd: Dict) -> Dict:
                 blk["downsample"] = {"w": jnp.asarray(w), "b": jnp.asarray(b)}
             layer.append(blk)
         params[f"layer{li}"] = layer
-        inplanes = planes * EXPANSION
     return params
 
 

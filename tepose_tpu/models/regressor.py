@@ -49,9 +49,12 @@ def regressor_init(rng: jax.Array,
         init_shape = jnp.asarray(mean_params["shape"], jnp.float32).reshape(-1)
         init_cam = jnp.asarray(mean_params["cam"], jnp.float32).reshape(-1)
     else:
-        # Identity rotation in 6d is [1,0,0, 0,1,0] per joint (column-major
-        # (3,2) layout, see ops.geometry.rot6d_to_rotmat).
-        ident6d = jnp.tile(jnp.asarray([1, 0, 0, 0, 1, 0], jnp.float32), 24)
+        # Identity rotation in 6d: the 6-vector reshapes to (3, 2) in
+        # C order (ref: spin.py:263 view(-1,3,2)), so the two basis
+        # columns interleave — a1 = elements (0,2,4), a2 = (1,3,5);
+        # identity needs a1=(1,0,0), a2=(0,1,0) -> [1,0,0,1,0,0].
+        # ([1,0,0,0,1,0] decodes to a det-0 rank-1 matrix.)
+        ident6d = jnp.tile(jnp.asarray([1, 0, 0, 1, 0, 0], jnp.float32), 24)
         init_pose = ident6d
         init_shape = jnp.zeros(10, jnp.float32)
         init_cam = jnp.asarray([0.9, 0.0, 0.0], jnp.float32)
@@ -115,6 +118,12 @@ def ief_iterations(
     pred_cam = jnp.broadcast_to(
         params["init_cam"] if init_cam is None else init_cam, (B, 3))
 
+    # CONTRACT: train=True with rng=None keeps the train-mode branch
+    # structure but disables dropout (used by the deterministic
+    # train-branch parity tests, test_reference_parity.py:153). Real
+    # training must pass rng — the reference's nn.Dropout is
+    # unconditionally active in train mode (ref: spin.py:224,227) and
+    # train/trainer.py threads k_drop accordingly.
     if train and rng is not None:
         drop_keys = list(jax.random.split(rng, 2 * n_iter))
     else:

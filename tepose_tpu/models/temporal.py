@@ -93,8 +93,7 @@ def temporal_encoder_apply(params: Dict, x: jnp.ndarray, n_layers: int = 1,
 
 def vibe_encoder_init(rng: jax.Array, n_layers: int = 1,
                       hidden_size: int = 2048, add_linear: bool = False,
-                      bidirectional: bool = False,
-                      use_residual: bool = True) -> Dict:
+                      bidirectional: bool = False) -> Dict:
     """VIBE encoder: GRU (+ optional linear) with residual to the input.
 
     ref: vibe.py:27-50.

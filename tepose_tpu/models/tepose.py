@@ -124,7 +124,7 @@ def vibe_init(rng: jax.Array, cfg: VibeConfig,
     return {
         "encoder": vibe_encoder_init(
             k_enc, cfg.n_layers, cfg.hidden_size, cfg.add_linear,
-            cfg.bidirectional, cfg.use_residual),
+            cfg.bidirectional),
         "regressor": regressor_init(k_reg, mean_params),
     }
 
@@ -159,7 +159,9 @@ def vibe_demo_apply(
     *,
     j_regressor=None,
 ) -> Dict[str, jnp.ndarray]:
-    """VIBE over raw image crops: inline ResNet-50 feature extraction first.
+    """VIBE over ImageNet-NORMALISED image crops: inline ResNet-50 feature
+    extraction first (normalise with backbone.normalize_crop beforehand —
+    raw [0,255] pixels would silently produce garbage features).
 
     ref: vibe.py:120-179 (VIBE_Demo.forward). images (B, T, 3, 224, 224).
     """

@@ -58,11 +58,8 @@ def _backbone_chunk(bb_params, crops, dtype=None):
     weights + activations for the conv stack (MXU bf16 passes), f32 out.
     """
     if crops.dtype == jnp.uint8:
-        mean = jnp.asarray([0.485, 0.456, 0.406],
-                           jnp.float32).reshape(1, 3, 1, 1)
-        std = jnp.asarray([0.229, 0.224, 0.225],
-                          jnp.float32).reshape(1, 3, 1, 1)
-        crops = (crops.astype(jnp.float32) / 255.0 - mean) / std
+        from tepose_tpu.models.backbone import normalize_crop
+        crops = normalize_crop(crops)
     if dtype is not None:
         bb_params = jax.tree_util.tree_map(lambda x: x.astype(dtype),
                                            bb_params)

@@ -141,6 +141,22 @@ def test_projection_matches_torch(rng):
     np.testing.assert_allclose(ours, ref, atol=1e-4)
 
 
+def test_regressor_fallback_init_pose_is_identity(rng):
+    """Without mean params, init_pose must decode to identity rotations:
+    the 6d vector reshapes to (3,2) in C order, so identity is
+    [1,0,0,1,0,0] — the interleaved [1,0,0,0,1,0] decodes to a det-0
+    rank-1 matrix and would start every IEF iteration from garbage."""
+    from tepose_tpu.ops.geometry import rot6d_to_rotmat
+
+    params = regressor_init(jax.random.PRNGKey(0), mean_params=None)
+    rotmats = np.asarray(rot6d_to_rotmat(
+        params["init_pose"][0].reshape(24, 6)))
+    assert rotmats.shape == (24, 3, 3)
+    np.testing.assert_allclose(
+        rotmats, np.tile(np.eye(3, dtype=np.float32), (24, 1, 1)),
+        atol=1e-6)
+
+
 def test_regressor_full_output_shapes(rng):
     smpl = synthetic_smpl_model(seed=0, num_verts=128)
     params = regressor_init(jax.random.PRNGKey(3))
