@@ -62,19 +62,20 @@ class OneEuroFilter:
 
 def smooth_pose_params(pred_pose: np.ndarray, pred_betas: np.ndarray,
                        min_cutoff: float = 0.004, beta: float = 0.7):
-    """1-euro-filter a (T, 72) pose + (T, 10) betas track.
+    """1-euro-filter a (T, 72) pose track; betas pass through UNfiltered.
 
-    Returns the smoothed tracks; the caller re-runs SMPL to refresh
-    verts/joints (ref: smooth_pose.py:24-68 — the demo --smooth path).
+    The reference's smooth_pose filters only the pose and re-runs SMPL
+    with each frame's RAW betas (ref: smooth_pose.py:28-65) — filtering
+    the shape track too would lag the mesh's shape for many frames after
+    any estimate jump and diverge from the --smooth pipeline this
+    reproduces. Returns (smoothed_pose, betas); the caller re-runs SMPL
+    to refresh verts/joints.
     """
     pose = pred_pose.copy()
-    betas = pred_betas.copy()
     f_pose = OneEuroFilter(0, pose[0], min_cutoff=min_cutoff, beta=beta)
-    f_beta = OneEuroFilter(0, betas[0], min_cutoff=min_cutoff, beta=beta)
     for t in range(1, len(pose)):
         pose[t] = f_pose(t, pose[t])
-        betas[t] = f_beta(t, betas[t])
-    return pose, betas
+    return pose, pred_betas
 
 
 # ---------------------------------------------------------------- bbox

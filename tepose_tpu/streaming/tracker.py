@@ -116,6 +116,20 @@ def detect_people_simple(frame_shape, num_frames: int) -> Dict[int, Dict]:
     return {0: {"bbox": bbox, "frames": np.arange(num_frames)}}
 
 
+def _work_gray(img: np.ndarray, wh) -> np.ndarray:
+    """RGB frame -> work-scale uint8 grayscale (the shared convention of
+    every detector in this module)."""
+    import cv2
+
+    g = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+    return cv2.resize(g, wh, interpolation=cv2.INTER_AREA)
+
+
+def _fg_threshold(vals: np.ndarray) -> float:
+    """Adaptive foreground threshold: robust to global lighting/noise."""
+    return max(18.0, float(vals.mean() + 2.5 * vals.std()))
+
+
 def _boxes_from_mask(mask, scale, min_area, kernel, max_people):
     """Morphology + connected components on a foreground mask -> square
     person boxes (cx, cy, side, side) in FULL-resolution coordinates."""
@@ -171,13 +185,9 @@ def detect_people_motion(
     scale = work_width / float(w)
     wh = (work_width, max(1, int(round(h * scale))))
 
-    def small_gray(img):
-        g = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
-        return cv2.resize(g, wh, interpolation=cv2.INTER_AREA)
-
     def gray_at(i):
         return (grays[i] if grays is not None
-                else small_gray(frames[i]).astype(np.float32))
+                else _work_gray(frames[i], wh).astype(np.float32))
 
     if bg is None:
         idxs = np.linspace(0, len(frames) - 1,
@@ -190,9 +200,7 @@ def detect_people_motion(
 
     for f in range(len(frames)):
         diff = np.abs(gray_at(f) - bg)
-        # adaptive threshold: robust to global lighting/noise levels
-        thr = max(18.0, float(diff.mean() + 2.5 * diff.std()))
-        mask = (diff > thr).astype(np.uint8) * 255
+        mask = (diff > _fg_threshold(diff)).astype(np.uint8) * 255
         tracker.update(
             f, _boxes_from_mask(mask, scale, min_area, kernel, max_people))
 
@@ -200,7 +208,7 @@ def detect_people_motion(
 
 
 def estimate_camera_motion(frames: List[np.ndarray],
-                           work_width: int = 320):
+                           work_width: int = 320, grays=None):
     """Per-frame camera motion via sparse optical flow + robust similarity.
 
     Returns (transforms, per_step_px):
@@ -217,6 +225,10 @@ def estimate_camera_motion(frames: List[np.ndarray],
     which is what makes stabilized background subtraction a valid
     moving-camera person detector (ref capability: demo.py:87-100 runs
     yolov3 on arbitrary handheld footage).
+
+    `grays`: optional precomputed work-scale uint8 grayscale frames (one
+    per frame) — callers that also consume them (detect_people_stabilized)
+    pass these to skip a second cvtColor+resize pass over the clip.
     """
     import cv2
 
@@ -227,9 +239,10 @@ def estimate_camera_motion(frames: List[np.ndarray],
     scale = work_width / float(w)
     wh = (work_width, max(1, int(round(h * scale))))
 
-    def small_gray(img):
-        g = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
-        return cv2.resize(g, wh, interpolation=cv2.INTER_AREA)
+    if grays is not None:
+        gray_at = lambda t: grays[t]  # noqa: E731
+    else:
+        gray_at = lambda t: _work_gray(frames[t], wh)  # noqa: E731
 
     eye3 = np.eye(3, dtype=np.float64)
     cum = [eye3]
@@ -240,9 +253,9 @@ def estimate_camera_motion(frames: List[np.ndarray],
     # permanently misregister every later frame against the background
     # canvas; carrying the motion degrades gracefully instead.
     last_step = np.eye(2, 3, dtype=np.float64)
-    prev = small_gray(frames[0])
+    prev = gray_at(0)
     for t in range(1, len(frames)):
-        cur = small_gray(frames[t])
+        cur = gray_at(t)
         step = None
         pts = cv2.goodFeaturesToTrack(prev, 300, 0.01, 7)
         if pts is not None and len(pts) >= 8:
@@ -301,11 +314,11 @@ def detect_people_stabilized(
     scale = work_width / float(w)
     wh = (work_width, max(1, int(round(h * scale))))
 
-    def small_gray(img):
-        g = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
-        return cv2.resize(g, wh, interpolation=cv2.INTER_AREA)
-
-    transforms, _ = estimate_camera_motion(frames, work_width)
+    # ONE grayscale pass over the clip, shared with the motion estimate
+    # (uint8 work-scale: ~1/16 the bytes of the RGB frames the caller
+    # already holds)
+    grays = [_work_gray(f, wh) for f in frames]
+    transforms, _ = estimate_camera_motion(frames, work_width, grays=grays)
     corners = np.array([[0, 0], [wh[0], 0], [0, wh[1]], [wh[0], wh[1]]],
                        np.float32)
     canvas_cap = max_canvas_frames * wh[0] * wh[1]
@@ -356,23 +369,29 @@ def detect_people_stabilized(
     import warnings
 
     for t0, t1, seg, offset, (cw, ch) in segments:
-        warped = {}  # frame warps are reused between bg model and the scan
+        idxs = t0 + np.linspace(0, t1 - t0 - 1,
+                                min(bg_samples, t1 - t0)).astype(int)
+        # cache ONLY the <=bg_samples background-model frames (reused by
+        # the scan); scan-only frames are used exactly once — caching every
+        # warped canvas would grow O(segment_len x canvas_area) and OOM on
+        # long near-static clips despite the canvas cap
+        idx_set = set(int(i) for i in idxs)
+        warped = {}
 
         def warp(t):
             if t in warped:
                 return warped[t]
             M = seg[t - t0] + offset
-            g = cv2.warpAffine(small_gray(frames[t]), M, (cw, ch),
+            g = cv2.warpAffine(grays[t], M, (cw, ch),
                                flags=cv2.INTER_LINEAR,
                                borderMode=cv2.BORDER_CONSTANT, borderValue=0)
             v = cv2.warpAffine(np.full(wh[::-1], 255, np.uint8), M, (cw, ch),
                                flags=cv2.INTER_NEAREST,
                                borderMode=cv2.BORDER_CONSTANT, borderValue=0)
-            warped[t] = (g.astype(np.float32), v > 0)
-            return warped[t]
-
-        idxs = t0 + np.linspace(0, t1 - t0 - 1,
-                                min(bg_samples, t1 - t0)).astype(int)
+            out = (g.astype(np.float32), v > 0)
+            if t in idx_set:
+                warped[t] = out
+            return out
         samples = [warp(i) for i in idxs]
         stack = np.stack([g for g, _ in samples])
         valid = np.stack([v for _, v in samples])
@@ -391,8 +410,7 @@ def detect_people_stabilized(
             if vals.size == 0:
                 tracker.update(f, np.zeros((0, 4), np.float32))
                 continue
-            thr = max(18.0, float(vals.mean() + 2.5 * vals.std()))
-            mask = ((diff > thr) & ok).astype(np.uint8) * 255
+            mask = ((diff > _fg_threshold(vals)) & ok).astype(np.uint8) * 255
             boxes = _boxes_from_mask(mask, 1.0, min_area, kernel,
                                      max_people)
             if len(boxes):
@@ -445,7 +463,19 @@ def detect_people_auto(frames: List[np.ndarray],
     moving = (len(per_frame) > 0
               and float(np.median(per_frame)) > pan_thresh_px)
     det = detect_people_stabilized if moving else detect_people_motion
-    return det(frames, **kw)
+    # kwargs routing: which detector runs depends on the FOOTAGE, so a
+    # detector-specific kwarg (max_canvas_frames / grays / bg) must not
+    # crash when the probe picks the other route — drop what the chosen
+    # detector doesn't take, but still reject names neither knows
+    import inspect
+
+    stab = set(inspect.signature(detect_people_stabilized).parameters)
+    mot = set(inspect.signature(detect_people_motion).parameters)
+    unknown = set(kw) - (stab | mot)
+    if unknown:
+        raise TypeError(f"unknown detector kwargs: {sorted(unknown)}")
+    accepted = stab if moving else mot
+    return det(frames, **{k: v for k, v in kw.items() if k in accepted})
 
 
 class _CausalBackgroundTracker:
@@ -479,11 +509,7 @@ class _CausalBackgroundTracker:
         self._full = np.array([w / 2, h / 2, side, side], np.float32)
 
     def _small_gray(self, img: np.ndarray) -> np.ndarray:
-        import cv2
-
-        g = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
-        return cv2.resize(g, self._wh,
-                          interpolation=cv2.INTER_AREA).astype(np.float32)
+        return _work_gray(img, self._wh).astype(np.float32)
 
     def _candidates(self, g: np.ndarray, max_people: int):
         """Foreground boxes of the current work-scale gray vs the background.
@@ -491,7 +517,7 @@ class _CausalBackgroundTracker:
         Returns (diff, thr, cands) — diff/thr are reused by `_adapt_bg`.
         """
         diff = np.abs(g - self._bg)
-        thr = max(18.0, float(diff.mean() + 2.5 * diff.std()))
+        thr = _fg_threshold(diff)
         mask = (diff > thr).astype(np.uint8) * 255
         min_area = self.min_area_frac * self._wh[0] * self._wh[1]
         cands = _boxes_from_mask(mask, self._scale, min_area, self._kernel,

@@ -71,6 +71,11 @@ def test_smooth_pose_params_shapes(rng):
     sp, sb = F.smooth_pose_params(pose, betas)
     assert sp.shape == pose.shape and sb.shape == betas.shape
     np.testing.assert_array_equal(sp[0], pose[0])  # first frame unchanged
+    # betas pass through UNfiltered: the reference's smooth_pose filters
+    # only the pose and feeds raw per-frame betas to SMPL
+    # (ref: smooth_pose.py:28-65)
+    np.testing.assert_array_equal(sb, betas)
+    assert not np.array_equal(sp[1:], pose[1:])  # pose actually filtered
 
 
 def test_bbox_pipeline(rng):
