@@ -53,10 +53,17 @@ class MeshTreePlacer:
                              P(DATA_AXIS, *([None] * (x.ndim - 1))))
 
     def pack_np(self, tree: Any) -> tuple:
+        # host np.asarray, NOT jnp: this runs once per training iteration
+        # on the full batch pytree, and staging each leaf on the default
+        # device before the sharded device_put would transfer every
+        # multi-MB batch twice over the host link
         leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
-        return tuple(
-            jax.device_put(jnp.asarray(x), self._sharding(path, jnp.asarray(x)))
-            for path, x in leaves)
+        out = []
+        for path, x in leaves:
+            if not hasattr(x, "sharding"):
+                x = np.asarray(x)
+            out.append(jax.device_put(x, self._sharding(path, x)))
+        return tuple(out)
 
     def unpack_np(self, flats) -> Any:
         return jax.tree_util.tree_unflatten(

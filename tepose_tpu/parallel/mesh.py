@@ -34,7 +34,11 @@ def shard_batch(tree: Any, mesh: Mesh, axis_name: str = DATA_AXIS) -> Any:
     Scalars / 0-d leaves are replicated.
     """
     def place(x):
-        x = jax.numpy.asarray(x)
+        # host np.asarray, NOT jnp: staging on the default device first
+        # would transfer every array twice (device 0, then the resharded
+        # placement) — device_put shards host arrays directly
+        if not hasattr(x, "sharding"):
+            x = np.asarray(x)
         if x.ndim == 0:
             spec = P()
         else:
@@ -48,4 +52,5 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     """Replicate every leaf across the mesh (weights, optimiser state)."""
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(jax.numpy.asarray(x), sharding), tree)
+        lambda x: jax.device_put(
+            x if hasattr(x, "sharding") else np.asarray(x), sharding), tree)

@@ -189,6 +189,9 @@ def streaming_flops_per_call(n_streams: int, frames: int, seqlen: int = 6,
     (sub-percent) VIBE bootstrap approximated as one extra window pass per
     stream with per-frame regression."""
     W = frames - seqlen + 1
+    if W <= 0:
+        raise ValueError(f"frames={frames} < seqlen={seqlen}: no windows "
+                         "(a negative W would silently corrupt MFU math)")
     # the engine runs the projection-reuse fast scan, not the naive window
     per_window = (fast_scan_window_flops(seqlen, n_layers, hidden)
                   + regressor_ief_flops() + smpl_flops(num_verts))
@@ -219,14 +222,22 @@ def model_flops_per_frame(seqlen: int = 6, n_layers: int = 2,
                           num_verts: int = 6890) -> Dict[str, float]:
     """Steady-state streaming cost of ONE output frame on the flagship path
     (each new frame = one crop through the backbone + one window through
-    encoder + IEF + SMPL; the scan's per-window projections are amortized
-    by the precompute, see streaming/fast_scan.py)."""
+    encoder + IEF + SMPL).
+
+    `encoder_window` is the NAIVE standalone window (every frame's input
+    projections recomputed); `encoder_window_fast_scan` is what the
+    shipped projection-reuse scan actually pays per window
+    (streaming/fast_scan.py) — `total` uses the naive figure, i.e. an
+    upper bound a standalone-window consumer would pay."""
     parts = {
         "backbone": float(resnet50_flops()),
         "encoder_window": float(
             encoder_window_flops(seqlen, n_layers, hidden)),
+        "encoder_window_fast_scan": float(
+            fast_scan_window_flops(seqlen, n_layers, hidden)),
         "ief": float(regressor_ief_flops()),
         "smpl": float(smpl_flops(num_verts)),
     }
-    parts["total"] = sum(parts.values())
+    parts["total"] = (parts["backbone"] + parts["encoder_window"]
+                      + parts["ief"] + parts["smpl"])
     return parts

@@ -26,6 +26,7 @@ def create_logger(logdir: str, phase: str = "train") -> logging.Logger:
     if logger.handlers:
         for h in list(logger.handlers):
             logger.removeHandler(h)
+            h.close()  # else old FileHandler fds leak across re-inits
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s %(message)s",

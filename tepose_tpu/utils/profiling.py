@@ -40,11 +40,11 @@ class StageTimer:
 
     @contextlib.contextmanager
     def stage(self, name: str) -> Iterator[None]:
-        t0 = time.time()
+        t0 = time.perf_counter()  # monotonic: NTP steps can't skew totals
         try:
             yield
         finally:
-            self.totals[name] += time.time() - t0
+            self.totals[name] += time.perf_counter() - t0
             self.counts[name] += 1
 
     def summary(self) -> Dict[str, Dict[str, float]]:

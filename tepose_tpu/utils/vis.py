@@ -11,7 +11,6 @@ from typing import Dict, Optional, Sequence
 
 import numpy as np
 
-from tepose_tpu.data.kp_utils import joint_names
 
 # skeleton edges for the 49-joint spin format (subset: the 14 common joints,
 # ref: _kp_utils.py get_spin_skeleton / get_common_skeleton)
@@ -33,8 +32,10 @@ def draw_skeleton(image: np.ndarray, kp_2d: np.ndarray,
 
     kp = kp_2d.copy().astype(np.float32)
     if unnormalize:
-        size = image.shape[0]
-        kp[:, :2] = (kp[:, :2] + 1.0) * 0.5 * size
+        # per-axis: x scales by width, y by height (identical on the
+        # square 224-crops, wrong on full frames otherwise)
+        kp[:, 0] = (kp[:, 0] + 1.0) * 0.5 * image.shape[1]
+        kp[:, 1] = (kp[:, 1] + 1.0) * 0.5 * image.shape[0]
     if kp.shape[0] == 49:
         kp = kp[25:39]
     pts = kp[:, :2].astype(int)
@@ -62,13 +63,15 @@ def overlay_mesh_on_crop(crop: np.ndarray, verts: np.ndarray,
 
 def batch_visualize_vid_preds(video: np.ndarray, preds: Dict,
                               target: Dict, faces: Optional[np.ndarray],
-                              max_items: int = 4,
-                              grid_cols: int = 4) -> np.ndarray:
-    """Build a (T, H, W*cols, 3) prediction-overlay video grid for a batch.
+                              max_items: int = 4) -> np.ndarray:
+    """Build a (T, H, W*min(B, max_items), 3) one-row prediction-overlay
+    video grid for a batch.
 
-    ref: vis.py:330-382 — per sample: input crop + predicted skeleton (+ mesh
-    when faces given). video (B, T, H, W, 3) uint8; preds with kp_2d
-    (B, T, K, 2) and optionally verts/theta.
+    ref: vis.py:330-382 — per sample: input crop (+ mesh when faces given)
+    + predicted skeleton + GT skeleton. The mesh is rendered FIRST so the
+    near-opaque overlay cannot hide the skeletons drawn on top. video
+    (B, T, H, W, 3) uint8; preds with kp_2d (B, T, K, 2) and optionally
+    verts/theta.
     """
     B, T = video.shape[:2]
     n = min(B, max_items)
@@ -77,12 +80,12 @@ def batch_visualize_vid_preds(video: np.ndarray, preds: Dict,
         row = []
         for b in range(n):
             img = video[b, t].copy()
-            if "kp_2d" in preds:
-                draw_skeleton(img, np.asarray(preds["kp_2d"][b, t]))
             if faces is not None and "verts" in preds and "theta" in preds:
                 cam = np.asarray(preds["theta"][b, t, :3])
                 img = overlay_mesh_on_crop(
                     img, np.asarray(preds["verts"][b, t]), cam, faces)
+            if "kp_2d" in preds:
+                draw_skeleton(img, np.asarray(preds["kp_2d"][b, t]))
             if "kp_2d" in target:
                 draw_skeleton(img, np.asarray(target["kp_2d"][b, t]),
                               thickness=1, radius=2)
