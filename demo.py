@@ -403,6 +403,12 @@ def main():
         os.makedirs(args.output_folder, exist_ok=True)
         args.vid_file = osp.join(args.output_folder, "synthetic_input.mp4")
         make_synthetic_video(args.vid_file)
+    if args.vid_file.startswith(("https://", "http://")):
+        # ref: demo.py:64-67 — a YouTube link is downloaded then processed
+        print(f"Downloading YouTube video {args.vid_file!r}")
+        args.vid_file = D.download_youtube_clip(args.vid_file,
+                                                args.output_folder)
+        print(f"YouTube video has been downloaded to {args.vid_file}")
     if not osp.isfile(args.vid_file):
         sys.exit(f"input video {args.vid_file!r} does not exist!")
 

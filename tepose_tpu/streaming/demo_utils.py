@@ -16,6 +16,25 @@ from typing import Dict, Iterator, List, Optional, Tuple
 import numpy as np
 
 
+def download_youtube_clip(url: str, download_folder: str) -> str:
+    """Download a YouTube video to `download_folder`, returning the file path.
+
+    ref: lib/utils/demo_utils.py:85-86 (pytube) — the import is gated because
+    this environment has no egress and pytube is not a baked-in dependency;
+    demo.py routes `--vid_file https://...` here and surfaces this error
+    cleanly when the package is absent (ref: demo.py:64-67).
+    """
+    try:
+        from pytube import YouTube  # type: ignore
+    except ImportError as e:  # pragma: no cover - exercised via fake module
+        raise RuntimeError(
+            "downloading a YouTube --vid_file requires the 'pytube' package "
+            "(pip install pytube); alternatively download the clip yourself "
+            "and pass the local file") from e
+    os.makedirs(download_folder, exist_ok=True)
+    return YouTube(url).streams.first().download(output_path=download_folder)
+
+
 def read_video_frames(path: str) -> Iterator[np.ndarray]:
     """Yield RGB uint8 frames (cv2-based; ref decodes to jpgs via ffmpeg,
     demo_utils.py:181-203)."""

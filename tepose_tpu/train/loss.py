@@ -116,6 +116,59 @@ def adv_disc_l2_loss(real_value: jnp.ndarray, fake_value: jnp.ndarray,
     return la, lb, la + lb
 
 
+def encoder_disc_wasserstein_loss(disc_value: jnp.ndarray,
+                                  row_mask: jnp.ndarray) -> jnp.ndarray:
+    """Generator-side Wasserstein loss -sum(D)/k (ref: loss.py:255-261).
+
+    Defined-but-unused in the reference (TePoseLoss always uses the LSGAN
+    terms); kept for full loss-surface parity, in the same row-masked form
+    as `encoder_disc_l2_loss`.
+    """
+    m = row_mask.astype(disc_value.dtype)
+    k = jnp.maximum(m.sum(), 1.0)
+    return jnp.where(m.sum() > 0, -(disc_value * m).sum() / k, 0.0)
+
+
+def adv_disc_wasserstein_loss(real_value: jnp.ndarray,
+                              fake_value: jnp.ndarray,
+                              real_mask: jnp.ndarray,
+                              fake_mask: jnp.ndarray):
+    """Discriminator-side Wasserstein losses (ref: loss.py:264-274).
+
+    Returns (loss_real, loss_fake, total); unused by the reference's
+    TePoseLoss, mirrored row-masked for surface parity.
+    """
+    mr = real_mask.astype(real_value.dtype)
+    mf = fake_mask.astype(fake_value.dtype)
+    ka = jnp.maximum(mr.sum(), 1.0)
+    kb = jnp.maximum(mf.sum(), 1.0)
+    la = jnp.where(mr.sum() > 0, -(real_value * mr).sum() / ka, 0.0)
+    lb = jnp.where(mf.sum() > 0, (fake_value * mf).sum() / kb, 0.0)
+    return la, lb, la + lb
+
+
+def smooth_pose_loss(pred_theta: jnp.ndarray,
+                     row_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """|mean(temporal pose diffs)| (ref: loss.py:278-281, defined-but-unused).
+
+    pred_theta (N, T, 85); note the reference takes the abs of the MEAN
+    (a signed-drift penalty), not the mean of abs — reproduced exactly.
+    """
+    diff = pred_theta[:, 1:, 3:75] - pred_theta[:, :-1, 3:75]
+    if row_mask is None:
+        return jnp.abs(diff.mean())
+    return jnp.abs(_masked_row_mean(diff, row_mask))
+
+
+def smooth_shape_loss(pred_theta: jnp.ndarray,
+                      row_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """|mean(temporal shape diffs)| (ref: loss.py:284-287, defined-but-unused)."""
+    diff = pred_theta[:, 1:, 75:] - pred_theta[:, :-1, 75:]
+    if row_mask is None:
+        return jnp.abs(diff.mean())
+    return jnp.abs(_masked_row_mean(diff, row_mask))
+
+
 def tepose_loss(
     preds: Dict[str, jnp.ndarray],
     *,

@@ -89,6 +89,56 @@ def test_disc_losses(rng):
     np.testing.assert_allclose(float(tot), ref_la + ref_lb, rtol=1e-5)
 
 
+def test_wasserstein_disc_losses(rng):
+    """ref: loss.py:255-274 — defined-but-unused variants, filtered-row
+    semantics checked the same way as the LSGAN terms."""
+    d = rng.rand(6).astype(np.float32)
+    mask = np.array([1, 0, 1, 1, 0, 1], dtype=bool)
+    ours = float(Lo.encoder_disc_wasserstein_loss(jnp.asarray(d),
+                                                  jnp.asarray(mask)))
+    ref = -d[mask].sum() / mask.sum()
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+    real = rng.rand(6).astype(np.float32)
+    fake = rng.rand(6).astype(np.float32)
+    la, lb, tot = Lo.adv_disc_wasserstein_loss(
+        jnp.asarray(real), jnp.asarray(fake),
+        jnp.asarray(mask), jnp.asarray(mask))
+    ref_la = -real[mask].sum() / mask.sum()
+    ref_lb = fake[mask].sum() / mask.sum()
+    np.testing.assert_allclose(float(la), ref_la, rtol=1e-5)
+    np.testing.assert_allclose(float(lb), ref_lb, rtol=1e-5)
+    np.testing.assert_allclose(float(tot), ref_la + ref_lb, rtol=1e-5)
+
+    # empty mask -> exactly 0 (matches the LSGAN terms' guard)
+    empty = jnp.zeros(6, dtype=bool)
+    assert float(Lo.encoder_disc_wasserstein_loss(jnp.asarray(d),
+                                                  empty)) == 0.0
+
+
+def test_smooth_theta_losses(rng):
+    """ref: loss.py:278-287 — |mean(diff)| (abs of the MEAN, a signed-drift
+    penalty), both unmasked (reference signature) and row-masked."""
+    theta = rng.randn(5, 7, 85).astype(np.float32)
+
+    pose_diff = theta[:, 1:, 3:75] - theta[:, :-1, 3:75]
+    shape_diff = theta[:, 1:, 75:] - theta[:, :-1, 75:]
+    np.testing.assert_allclose(
+        float(Lo.smooth_pose_loss(jnp.asarray(theta))),
+        abs(pose_diff.mean()), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(Lo.smooth_shape_loss(jnp.asarray(theta))),
+        abs(shape_diff.mean()), rtol=1e-5)
+
+    mask = np.array([1, 0, 1, 1, 0], dtype=bool)
+    np.testing.assert_allclose(
+        float(Lo.smooth_pose_loss(jnp.asarray(theta), jnp.asarray(mask))),
+        abs(pose_diff[mask].mean()), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(Lo.smooth_shape_loss(jnp.asarray(theta), jnp.asarray(mask))),
+        abs(shape_diff[mask].mean()), rtol=1e-5)
+
+
 def test_masked_bn_equals_filtered_batch(rng):
     """Row-masked BN stats == running the filtered rows as their own batch.
 

@@ -100,3 +100,52 @@ def test_eval_precision_scope_mapping():
                           contextlib.nullcontext), alias
     with pytest.raises(SystemExit):
         evaluate.precision_scope("float16")
+
+
+def test_download_youtube_clip(tmp_path, monkeypatch):
+    """ref: demo_utils.py:85-86 — pytube-gated download path, exercised with
+    a fake pytube module (no egress in tests)."""
+    import sys
+    import types
+
+    from tepose_tpu.streaming import demo_utils as D
+
+    calls = {}
+
+    class _Stream:
+        def __init__(self, url):
+            self.url = url
+
+        def download(self, output_path):
+            out = os.path.join(output_path, "clip.mp4")
+            with open(out, "wb") as f:
+                f.write(b"\x00")
+            calls["url"] = self.url
+            return out
+
+    class _Streams:
+        def __init__(self, url):
+            self.url = url
+
+        def first(self):
+            return _Stream(self.url)
+
+    class _YouTube:
+        def __init__(self, url):
+            self.streams = _Streams(url)
+
+    fake = types.ModuleType("pytube")
+    fake.YouTube = _YouTube
+    monkeypatch.setitem(sys.modules, "pytube", fake)
+
+    dest = str(tmp_path / "yt")
+    url = "https://www.youtube.com/watch?v=abc"
+    out = D.download_youtube_clip(url, dest)
+    assert os.path.isfile(out) and calls["url"] == url
+
+    # without pytube: a clean actionable error, not an ImportError traceback
+    monkeypatch.setitem(sys.modules, "pytube", None)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="pytube"):
+        D.download_youtube_clip(url, dest)
