@@ -148,18 +148,18 @@ class StreamingEngine:
     # ---------------------------------------------------------------- mesh
 
     def _put_weights(self, x):
-        x = jnp.asarray(x)
+        # host arrays go straight to their final placement: staging via
+        # jnp.asarray first would land them on device 0 and transfer twice
         if self.mesh is None:
-            return jax.device_put(x)
+            return jax.device_put(jnp.asarray(x))
         return jax.device_put(x, NamedSharding(self.mesh, P()))
 
     def _put_batch(self, x):
         """Place a (B, ...) buffer batch-sharded over the mesh's data axis
         (no-op without a mesh)."""
-        x = jnp.asarray(x)
         if self.mesh is None:
-            return x
-        spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
+            return jnp.asarray(x)
+        spec = P(DATA_AXIS, *([None] * (np.ndim(x) - 1)))
         return jax.device_put(x, NamedSharding(self.mesh, spec))
 
     def _pad_batch(self, b: int) -> int:
@@ -228,11 +228,15 @@ class StreamingEngine:
         buf[:len(crops)] = crops
         fn = self._get_features_fn(
             (n_chunks, crops.dtype.str, str(self.backbone_dtype)))
-        chunks = jnp.asarray(buf.reshape((n_chunks, B) + crops.shape[1:]))
+        chunks = buf.reshape((n_chunks, B) + crops.shape[1:])
         if self.mesh is not None:
+            # shard the host buffer in one hop — staging it on device 0
+            # first would double the link traffic of the biggest transfer
             chunks = jax.device_put(chunks, NamedSharding(
                 self.mesh, P(None, DATA_AXIS,
                              *([None] * (chunks.ndim - 2)))))
+        else:
+            chunks = jnp.asarray(chunks)
         feats = np.asarray(fn(self._bb_flats, chunks))
         return feats.reshape(n_chunks * B, -1)[:len(crops)]
 

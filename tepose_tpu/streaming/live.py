@@ -251,14 +251,16 @@ class LiveSession:
 
             specs = {"vibe_h": P(None, axis), "proj_ring": P(axis),
                      "theta_ring": P(axis), "age": P(axis)}
+            # device_put host arrays straight onto the mesh — staging via
+            # jnp.asarray would land them on device 0 first and transfer
+            # twice (the per-frame _x_place is the latency-critical one)
             self._w_arg = jax.tree_util.tree_map(
-                lambda a: jax.device_put(jnp.asarray(a), ns(P())), weights)
+                lambda a: jax.device_put(a, ns(P())), weights)
             self._place_carry = lambda c0: {
-                k: jax.device_put(jnp.asarray(v), ns(specs[k]))
-                for k, v in c0.items()}
+                k: jax.device_put(v, ns(specs[k])) for k, v in c0.items()}
             self._carry = self._place_carry(carry0)
             x_sh, r_sh = ns(P(axis)), ns(P(axis))
-            self._x_place = lambda x: jax.device_put(jnp.asarray(x), x_sh)
+            self._x_place = lambda x: jax.device_put(np.asarray(x), x_sh)
             self._r_place = lambda r: jax.device_put(r, r_sh)
 
             def one_step(w, carry, x, reset):
@@ -321,7 +323,7 @@ class LiveSession:
             self._warm_reset_step(xd)
         try:
             if reset is not None and np.any(reset):
-                r = self._place_reset(jnp.asarray(np.asarray(reset, bool)))
+                r = self._place_reset(np.asarray(reset, bool))
                 self._carry, outs, live = self._step_reset(
                     self._w_arg, self._carry, xd, r)
             else:

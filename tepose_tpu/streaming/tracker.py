@@ -323,10 +323,13 @@ def detect_people_stabilized(
                        np.float32)
     canvas_cap = max_canvas_frames * wh[0] * wh[1]
 
-    def canvas_bounds(Ms):
-        pts = np.concatenate([corners @ M[:, :2].T + M[:, 2] for M in Ms])
-        x0, y0 = np.floor(pts.min(axis=0)).astype(int)
-        x1, y1 = np.ceil(pts.max(axis=0)).astype(int)
+    def corner_span(M):
+        pts = corners @ M[:, :2].T + M[:, 2]
+        return pts.min(axis=0), pts.max(axis=0)
+
+    def span_to_bounds(mins, maxs):
+        x0, y0 = np.floor(mins).astype(int)
+        x1, y1 = np.ceil(maxs).astype(int)
         return int(x0), int(y0), int(x1 - x0), int(y1 - y0)
 
     # Long legitimate pans sweep an unbounded world area, so one global
@@ -334,18 +337,26 @@ def detect_people_stabilized(
     # re-anchored to its own first frame, greedily extended while the
     # segment's canvas stays under the cap; each segment gets its own
     # background model, while ONE IoUTracker spans all segments so
-    # tracklets stay continuous across the cuts.
-    def reanchor(t0, t1):
-        inv0 = np.linalg.inv(np.vstack([transforms[t0], [0, 0, 1]]))
-        return [(inv0 @ np.vstack([transforms[t], [0, 0, 1]]))[:2]
-                .astype(np.float32) for t in range(t0, t1)]
-
+    # tracklets stay continuous across the cuts. The extension is
+    # incremental — one composed transform + a running corner min/max per
+    # appended frame — so segment construction is O(len), not O(len^2).
     segments = []  # (t0, t1, seg_transforms, offset, (cw, ch))
     t0 = 0
-    while t0 < len(frames):
-        t1 = min(t0 + 2, len(frames))
-        seg = reanchor(t0, t1)
-        x0, y0, cw, ch = canvas_bounds(seg)
+    n = len(frames)
+    while t0 < n:
+        inv0 = np.linalg.inv(np.vstack([transforms[t0], [0, 0, 1]]))
+
+        def compose(t):
+            return (inv0 @ np.vstack([transforms[t], [0, 0, 1]]))[:2] \
+                .astype(np.float32)
+
+        t1 = min(t0 + 2, n)
+        seg = [compose(t) for t in range(t0, t1)]
+        mins, maxs = corner_span(seg[0])
+        for M in seg[1:]:
+            mn, mx = corner_span(M)
+            mins, maxs = np.minimum(mins, mn), np.maximum(maxs, mx)
+        x0, y0, cw, ch = span_to_bounds(mins, maxs)
         if cw * ch > canvas_cap:
             # runaway motion estimate (degenerate tracking): even a
             # two-frame canvas blows the cap — bail out to the
@@ -353,12 +364,18 @@ def detect_people_stabilized(
             return detect_people_motion(frames, min_area_frac, max_people,
                                         bg_samples, work_width, iou_thresh,
                                         max_missed)
-        while t1 < len(frames):
-            nxt = reanchor(t0, t1 + 1)
-            nx0, ny0, ncw, nch = canvas_bounds(nxt)
+        while t1 < n:
+            M = compose(t1)
+            mn, mx = corner_span(M)
+            nmins = np.minimum(mins, mn)
+            nmaxs = np.maximum(maxs, mx)
+            nx0, ny0, ncw, nch = span_to_bounds(nmins, nmaxs)
             if ncw * nch > canvas_cap:
                 break
-            seg, (x0, y0, cw, ch), t1 = nxt, (nx0, ny0, ncw, nch), t1 + 1
+            seg.append(M)
+            mins, maxs = nmins, nmaxs
+            x0, y0, cw, ch = nx0, ny0, ncw, nch
+            t1 += 1
         offset = np.array([[0, 0, -x0], [0, 0, -y0]], np.float32)
         segments.append((t0, t1, seg, offset, (cw, ch)))
         t0 = t1

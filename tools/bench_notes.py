@@ -55,7 +55,8 @@ def _sync_time(fn, *args, reps=6):
 
 def stage_breakdown(n_streams=8, frames=120):
     """Device seconds of each stage of the e2e path at bench.py shapes."""
-    from tepose_tpu.models.backbone import resnet50_features, resnet50_init
+    from tepose_tpu.models.backbone import (normalize_crop, resnet50_features,
+                                             resnet50_init)
     from tepose_tpu.models.smpl import synthetic_smpl_model
     from tepose_tpu.models.tepose import TePoseConfig, tepose_init
     from tepose_tpu.streaming.fast_scan import fast_stream_scan
@@ -80,9 +81,6 @@ def stage_breakdown(n_streams=8, frames=120):
     pseu = jnp.zeros((n_streams, cfg.seqlen - 1, 85))
     W = frames - cfg.seqlen + 1
 
-    mean = jnp.asarray([0.485, 0.456, 0.406]).reshape(1, 3, 1, 1)
-    std = jnp.asarray([0.229, 0.224, 0.225]).reshape(1, 3, 1, 1)
-
     cb = 16  # the engine's measured chunk-size optimum (backbone_chunk_sweep)
 
     @jax.jit
@@ -90,8 +88,7 @@ def stage_breakdown(n_streams=8, frames=120):
         params = bpack.unpack(bflats)
 
         def chunk(c):
-            x = (c.astype(jnp.float32) / 255.0 - mean) / std
-            return resnet50_features(params, x)
+            return resnet50_features(params, normalize_crop(c))
 
         return jax.lax.map(
             chunk, crops.reshape(-1, cb, 3, 224, 224))
@@ -126,7 +123,8 @@ def backbone_chunk_sweep(chunks=(8, 16, 32, 120, 480), n_crops=960):
     trials (drift-proof). Source of the engine's crop_batch=16 default:
     small chunks keep early-stage conv activations VMEM-resident between
     fused layers; below ~16 the MXU starves on tiny batches."""
-    from tepose_tpu.models.backbone import resnet50_features, resnet50_init
+    from tepose_tpu.models.backbone import (normalize_crop, resnet50_features,
+                                             resnet50_init)
     from tepose_tpu.utils.packing import FlatPacker
 
     cpu = jax.local_devices(backend="cpu")[0]
@@ -137,9 +135,6 @@ def backbone_chunk_sweep(chunks=(8, 16, 32, 120, 480), n_crops=960):
     rng = np.random.RandomState(1)
     crops = jax.device_put(jnp.asarray(
         rng.randint(0, 255, (n_crops, 3, 224, 224), np.uint8)))
-    mean = jnp.asarray([0.485, 0.456, 0.406]).reshape(1, 3, 1, 1)
-    std = jnp.asarray([0.229, 0.224, 0.225]).reshape(1, 3, 1, 1)
-
     def make(chunk):
         n = n_crops // chunk
 
@@ -148,8 +143,7 @@ def backbone_chunk_sweep(chunks=(8, 16, 32, 120, 480), n_crops=960):
             params = pack.unpack(flats)
 
             def f(c):
-                x = (c.astype(jnp.float32) / 255.0 - mean) / std
-                return resnet50_features(params, x)
+                return resnet50_features(params, normalize_crop(c))
 
             return jax.lax.map(
                 f, crops.reshape((n, chunk, 3, 224, 224)))
