@@ -227,6 +227,76 @@ def convert_torch_discriminator(
     return params, state
 
 
+def export_torch_generator(params: Dict) -> Dict[str, np.ndarray]:
+    """Inverse of `convert_torch_generator`: our generator pytree -> a flat
+    torch-layout dict (pure renaming; layouts already mirror torch, see
+    CLAUDE.md conventions).
+
+    The torch TePose module additionally owns `regressor.smpl.*` constant
+    buffers (smplx model data, ref: spin.py:226-231) that live in our
+    SmplModel instead; the reverse CLI overlays those from a `--like`
+    template checkpoint so the result survives the reference's strict
+    `load_state_dict` (ref: evaluate.py:124, trainer.py:423).
+    """
+    return {k.replace(SEP, "."): np.asarray(v, np.float32)
+            for k, v in flatten_tree(params).items()}
+
+
+def _disc_torch_key(parts) -> str:
+    """Translate one of our discriminator tree paths to the torch key.
+
+    Inverts the routing in `convert_torch_discriminator`:
+      gcn3dN/st/...            -> gcn3dN.gcn3d.1....   (Sequential slot 1)
+      .../mlp/layers/0/conv/x  -> ....mlp.layers.0.x   (Conv2d at idx 3k)
+      .../mlp/layers/0/bn/x    -> ....mlp.layers.1.x   (BN at idx 3k+1)
+    """
+    if parts[0].startswith("gcn3d") and parts[1] == "st":
+        base, rest = [parts[0], "gcn3d", "1"], parts[2:]
+    else:
+        base, rest = [parts[0]], parts[1:]
+    if rest[:2] == ["mlp", "layers"]:
+        idx = int(rest[2]) * 3 + (0 if rest[3] == "conv" else 1)
+        return ".".join(base + ["mlp", "layers", str(idx), rest[4]])
+    return ".".join(base + rest)
+
+
+def export_torch_discriminator(params: Dict, state: Dict) \
+        -> Dict[str, np.ndarray]:
+    """Inverse of `convert_torch_discriminator`: (params, state) -> flat
+    torch-layout dict, re-expanding the squeezed conv kernels:
+
+      TemporalConv (O,I,k)   -> Conv2d (O,I,k,1)
+      MLP conv     (O,I)     -> Conv2d (O,I,1,1)
+      MS-G3D out   (O,C,w)   -> Conv3d (O,C,1,w,1)
+
+    Our state-only adjacency constants (A_powers/A_scales) are plain torch
+    attributes in the reference (ms_gcn.py:36), not buffers — excluded.
+    Every BN gets a zero `num_batches_tracked` (torch tracks it in the
+    state_dict; it only affects momentum=None training, ref N/A here).
+    """
+    out: Dict[str, np.ndarray] = {}
+    for key, val in flatten_tree(params).items():
+        parts = key.split(SEP)
+        v = np.asarray(val, np.float32)
+        if parts[-1] == "weight":
+            if "out_conv" in parts:
+                v = v[:, :, None, :, None]
+            elif parts[0].startswith("residual_") and "conv" in parts:
+                v = v[..., None]
+            elif "mlp" in parts and "conv" in parts:
+                v = v[..., None, None]
+        out[_disc_torch_key(parts)] = v
+    for key, val in flatten_tree(state).items():
+        parts = key.split(SEP)
+        if parts[-1] in ("A_powers", "A_scales"):
+            continue
+        out[_disc_torch_key(parts)] = np.asarray(val, np.float32)
+        if parts[-1] == "running_mean":
+            tracked = _disc_torch_key(parts[:-1] + ["num_batches_tracked"])
+            out[tracked] = np.asarray(0, np.int64)
+    return out
+
+
 def _put_mlp(params, state, block, parts, v, sub):
     """Torch MLP Sequential: layers.0 = Conv2d, layers.1 = BN (mlp.py:8-24).
     parts = [..., 'mlp', 'layers', idx, leaf]."""

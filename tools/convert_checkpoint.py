@@ -11,6 +11,16 @@ Covers (ref: SURVEY.md §7 stage 3):
 Usage:
   python tools/convert_checkpoint.py in.pth.tar out.npz \
       --kind {tepose,vibe,spin}
+
+Reverse direction (our .npz -> a reference-layout .pth.tar, so weights
+trained here can be evaluated/resumed in the reference codebase):
+  python tools/convert_checkpoint.py in.npz out.pth.tar --reverse \
+      [--like reference_ckpt.pth.tar]
+`--like` seeds the output with an existing reference checkpoint's extra
+entries (the `regressor.smpl.*` constant buffers the torch module carries,
+optimizer/scheduler states) so the reference's STRICT `load_state_dict`
+(ref: evaluate.py:124, trainer.py:423) accepts the file; without it the
+state dicts contain only the learned weights (load with strict=False).
 """
 
 import argparse
@@ -28,13 +38,47 @@ def main() -> None:
     ap.add_argument("dst")
     ap.add_argument("--kind", choices=["tepose", "vibe", "spin"],
                     default="tepose")
+    ap.add_argument("--reverse", action="store_true",
+                    help="convert our .npz back to a reference .pth.tar")
+    ap.add_argument("--like", default="",
+                    help="reference checkpoint seeding the reverse output's "
+                         "extra entries (smpl buffers, optimizer states)")
     args = ap.parse_args()
 
     import torch  # CPU torch, only needed for conversion
 
     from tepose_tpu.train.checkpoint import (
-        convert_torch_discriminator, convert_torch_generator, save_checkpoint,
-        strip_module_prefix)
+        convert_torch_discriminator, convert_torch_generator,
+        export_torch_discriminator, export_torch_generator, load_checkpoint,
+        save_checkpoint, strip_module_prefix)
+
+    if args.reverse:
+        trees, scalars = load_checkpoint(args.src)
+
+        def to_torch(flat):
+            # explicit copy: exported leaves can be views of torch storage
+            return {k: torch.from_numpy(np.array(v))
+                    for k, v in flat.items()}
+
+        base = (torch.load(args.like, map_location="cpu", weights_only=False)
+                if args.like else {})
+        out = dict(base)
+        gen_sd = dict(base.get("gen_state_dict", {}))
+        gen_sd.update(to_torch(export_torch_generator(trees["gen"])))
+        out["gen_state_dict"] = gen_sd
+        if "disc" in trees:
+            disc_sd = dict(base.get("disc_motion_state_dict", {}))
+            disc_sd.update(to_torch(export_torch_discriminator(
+                trees["disc"], trees.get("disc_state", {}))))
+            out["disc_motion_state_dict"] = disc_sd
+        for k in ("performance", "epoch"):
+            if k in scalars:
+                # the reference stores epoch as an int (trainer.py:394)
+                out[k] = int(scalars[k]) if k == "epoch" else scalars[k]
+        torch.save(out, args.dst)
+        print(f"wrote {args.dst} (reference layout"
+              f"{', seeded from ' + args.like if args.like else ''})")
+        return
 
     ckpt = torch.load(args.src, map_location="cpu", weights_only=False)
 
