@@ -398,14 +398,81 @@ def prepare_training(vidlen=126, num_iters=120, hp=None,
 
 
 def measure_training(vidlen=126, num_iters=120, hp=None,
-                     fast_encoder=False, mode="full", reps=2):
-    """Time one prepared train segment (see prepare_training)."""
+                     fast_encoder=False, mode="full", reps=3, burn=2):
+    """Time one prepared train segment (see prepare_training).
+
+    Burn-in + per-rep median: the first timed loop of a freshly compiled
+    program can run several-fold slow on this link (same ramp _time_stream
+    burns at bench.py:84-90; BENCH_NOTES decision 8) — BENCH_r03 recorded
+    21 wps for a segment that reproduces at ~120 because the old 2-rep
+    un-burned average caught exactly that ramp (VERDICT r3 weak #1)."""
     run, finish = prepare_training(vidlen, num_iters, hp, fast_encoder,
                                    mode)
-    t0 = time.time()
-    for _ in range(reps):
+    for _ in range(burn):
         run()
-    return finish((time.time() - t0) / reps)
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        run()
+        ts.append(time.time() - t0)
+    med, lo, hi = _median_spread(ts)
+    out = finish(med)
+    out["wps_spread"] = [round(num_iters / hi, 1), round(num_iters / lo, 1)]
+    return out
+
+
+def _median_spread(ts):
+    s = sorted(ts)
+    n = len(s)
+    med = s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+    return med, s[0], s[-1]
+
+
+def measure_training_tiers(reps=4, burn=2):
+    """f32 + bf16 GAN train segments, INTERLEAVED per-rep timing.
+
+    VERDICT r3 #1: burn-in (matching _time_stream's ramp treatment), >=3
+    reps, median + spread in the JSON. Interleaving the two precision
+    tiers rep-by-rep stops minutes-scale link/device drift from being
+    attributed to the precision mode (the same trick measure_end_to_end
+    uses for its output modes)."""
+    from tepose_tpu.train.trainer import TrainHyper
+
+    f32_iters, bf16_iters = 120, 60
+    run32, fin32 = prepare_training(num_iters=f32_iters)
+    try:
+        run16, fin16 = prepare_training(
+            num_iters=bf16_iters, hp=TrainHyper(compute_dtype="bfloat16"))
+    except Exception as e:  # never take down the f32 numbers with it
+        print(f"# bf16 train prepare failed: {e}", file=sys.stderr)
+        run16 = fin16 = None
+    for _ in range(burn):
+        run32()
+        if run16:
+            run16()
+    t32, t16 = [], []
+    for _ in range(reps):
+        t0 = time.time()
+        run32()
+        t32.append(time.time() - t0)
+        if run16:
+            t0 = time.time()
+            run16()
+            t16.append(time.time() - t0)
+    med, lo, hi = _median_spread(t32)
+    train = fin32(med)
+    train["wps_spread"] = [round(f32_iters / hi, 1),
+                           round(f32_iters / lo, 1)]
+    if run16:
+        med, lo, hi = _median_spread(t16)
+        train_bf16 = fin16(med)
+        train_bf16["wps_spread"] = [round(bf16_iters / hi, 1),
+                                    round(bf16_iters / lo, 1)]
+    else:
+        train_bf16 = {"wps": float("nan"), "mfu": None,
+                      "gflops_per_iter": float("nan"),
+                      "wps_spread": [float("nan")] * 2}
+    return train, train_bf16
 
 
 def main() -> None:
@@ -436,15 +503,7 @@ def main() -> None:
         plain_fps, fast_fps, strict_fps, tf32_fps = measure_window_scans(
             cfg, smpl, packer, flats)
         e2e = measure_end_to_end(cfg, smpl, params)
-        train = measure_training()
-        from tepose_tpu.train.trainer import TrainHyper
-        try:
-            train_bf16 = measure_training(
-                num_iters=60, hp=TrainHyper(compute_dtype="bfloat16"))
-        except Exception as e:  # never take down the f32 numbers with it
-            train_bf16 = {"wps": float("nan"), "mfu": None,
-                          "gflops_per_iter": float("nan")}
-            print(f"# bf16 train measurement failed: {e}", file=sys.stderr)
+        train, train_bf16 = measure_training_tiers()
 
     from tepose_tpu.utils import flops as FL
 
@@ -487,10 +546,17 @@ def main() -> None:
                                if e2e["mfu"] is not None else None),
             "e2e_gflops_per_frame": round(e2e["gflops_per_frame"], 3),
             "train_windows_per_sec": round(train["wps"], 1),
+            "train_windows_per_sec_spread": train["wps_spread"],
             "train_mfu": (round(train["mfu"], 4)
                           if train["mfu"] is not None else None),
             "train_gflops_per_iter": round(train["gflops_per_iter"], 1),
             "train_bf16_windows_per_sec": round(train_bf16["wps"], 1),
+            "train_bf16_windows_per_sec_spread": train_bf16["wps_spread"],
+            "train_timing_note": "median of 4 interleaved f32/bf16 reps "
+                                 "after a 2-call burn-in per tier "
+                                 "(VERDICT r3 #1: the old 2-rep un-burned "
+                                 "average caught the first-loop ramp and "
+                                 "understated train 6x in BENCH_r03)",
             "train_bf16_mfu": (round(train_bf16["mfu"], 4)
                                if train_bf16["mfu"] is not None else None),
             "train_bf16_note": "same GAN segment with TrainHyper(compute_"
