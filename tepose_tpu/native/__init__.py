@@ -78,6 +78,23 @@ def have_native() -> bool:
 # ---------------------------------------------------------------------------
 
 
+# Three directional lights + ambient + emissive, mirroring the reference's
+# pyrender scene (ref: renderer.py:84-100) — see the comment block above
+# render_mesh in tepose_native.cpp for the full mapping rationale.
+_LIGHTS = np.array([[0.0, 1.0, 1.0], [0.0, -1.0, 1.0], [1.0, -1.0, 2.0]])
+_LIGHTS = _LIGHTS / np.linalg.norm(_LIGHTS, axis=1, keepdims=True)
+_LIGHT_INTENSITY = 0.8 / np.pi  # Lambert BRDF
+_AMBIENT, _EMISSIVE = 0.3, 0.1
+
+
+def _shade_from_normals(n):
+    """(..., 3) interpolated (unnormalised) normals -> scalar shade."""
+    nn = np.linalg.norm(n, axis=-1, keepdims=True) + 1e-12
+    d = np.abs((n / nn) @ _LIGHTS.T)  # double-sided
+    return np.minimum(
+        1.0, _AMBIENT + _EMISSIVE + _LIGHT_INTENSITY * d.sum(-1))
+
+
 def _render_mesh_numpy(verts, faces, cam, image, color, alpha):
     h, w = image.shape[:2]
     sx, sy, tx, ty = [float(c) for c in cam]
@@ -87,14 +104,13 @@ def _render_mesh_numpy(verts, faces, cam, image, color, alpha):
 
     zbuf = np.full((h, w), 1e30, np.float32)
     shade = np.full((h, w), -1.0, np.float32)
-    light = np.array([-0.3, -0.5, -0.8])
-    light = light / np.linalg.norm(light)
 
+    # area-weighted vertex normals (smooth shading, matching the C++ path)
     v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
-    normals = np.cross(v1 - v0, v2 - v0)
-    normals /= np.linalg.norm(normals, axis=1, keepdims=True) + 1e-12
-    diff = np.abs(normals @ light)
-    s_all = 0.35 + 0.65 * diff
+    fn = np.cross(v1 - v0, v2 - v0)
+    vn = np.zeros_like(verts, dtype=np.float64)
+    for k in range(3):
+        np.add.at(vn, faces[:, k], fn)
 
     for f in range(len(faces)):
         a, b, c = faces[f]
@@ -122,7 +138,10 @@ def _render_mesh_numpy(verts, faces, cam, image, color, alpha):
         sub_z = zbuf[ymin:ymax + 1, xmin:xmax + 1]
         closer = inside & (z < sub_z)
         sub_z[closer] = z[closer]
-        shade[ymin:ymax + 1, xmin:xmax + 1][closer] = s_all[f]
+        n_pix = (w0[..., None] * vn[a] + w1[..., None] * vn[b]
+                 + w2[..., None] * vn[c])
+        shade[ymin:ymax + 1, xmin:xmax + 1][closer] = \
+            _shade_from_normals(n_pix[closer])
 
     mask = shade >= 0
     mesh_rgb = (255.0 * np.asarray(color)[None, :]
@@ -135,10 +154,14 @@ def _render_mesh_numpy(verts, faces, cam, image, color, alpha):
 def render_mesh(verts: np.ndarray, faces: np.ndarray, cam: np.ndarray,
                 image: np.ndarray, color=(1.0, 1.0, 0.9),
                 alpha: float = 0.9) -> np.ndarray:
-    """Z-buffered flat-shaded mesh overlay (in place; returns image).
+    """Z-buffered smooth-shaded mesh overlay (in place; returns image).
 
     Weak-perspective cam (sx, sy, tx, ty) in original-image coords
-    (use streaming.demo_utils.convert_crop_cam_to_orig_img).
+    (use streaming.demo_utils.convert_crop_cam_to_orig_img). Lighting:
+    three directional lights + ambient + emissive matching the reference's
+    pyrender scene (ref: renderer.py:84-100), per-pixel interpolated vertex
+    normals. Pixel output is pinned by golden-image tests
+    (tests/test_render_golden.py).
     """
     verts = np.ascontiguousarray(verts, np.float32)
     faces = np.ascontiguousarray(faces, np.int32)

@@ -2,8 +2,9 @@
 //
 // Replaces the reference's external native dependencies on the hot host path:
 //   * pyrender/EGL offscreen mesh rendering (ref: lib/utils/renderer.py) ->
-//     a z-buffered flat-shaded software rasterizer with weak-perspective
-//     projection and alpha compositing over the input frame.
+//     a z-buffered smooth-shaded software rasterizer (three directional
+//     lights + ambient, per-pixel interpolated vertex normals) with
+//     weak-perspective projection and alpha compositing over the frame.
 //   * OpenCV warpAffine bbox crops (ref: lib/data_utils/_img_utils.py:88-101)
 //     -> a multithreaded bilinear affine crop + ImageNet normalisation that
 //     writes the (3, H, W) float32 tensor the backbone consumes.
@@ -35,6 +36,37 @@ extern "C" {
 //  image:  (h, w, 3) uint8, modified in place
 //  color:  (3,) float32 in [0,1]
 //  alpha:  mesh opacity
+// Lighting model (ref: renderer.py:84-100): pyrender scene with ambient
+// (0.3,0.3,0.3), emissive 0.1, roughness-1/metallic-0 material (pure
+// Lambert) and THREE DirectionalLights of intensity 0.8 placed at
+// [0,-1,1], [0,1,1], [1,1,2] with identity node rotation. pyrender
+// directional lights take their direction from the node ROTATION (-z
+// axis), not the translation, so all three of the reference's lights
+// shine along the camera axis; we model each with its intended placement
+// direction instead (normalised toward-the-light vectors, mapped through
+// the 180-degree x-rotation the reference applies to the mesh so they sit
+// on the viewer's side), which reproduces pyrender's soft top/side fill
+// while actually giving the mesh three distinct light directions.
+// Smooth (per-pixel interpolated vertex normal) shading matches the
+// reference material's smooth=True; flat shading before r4 faceted it.
+static const float kLights[3][3] = {
+    {0.f, 1.f, 1.f}, {0.f, -1.f, 1.f}, {1.f, -1.f, 2.f}};
+static const float kLightIntensity = 0.8f / 3.14159265f;  // Lambert BRDF
+static const float kAmbient = 0.3f, kEmissive = 0.1f;
+
+static inline float shade_normal(float nx, float ny, float nz) {
+  const float nn = std::sqrt(nx * nx + ny * ny + nz * nz) + 1e-12f;
+  float s = kAmbient + kEmissive;
+  for (int j = 0; j < 3; ++j) {
+    const float lx = kLights[j][0], ly = kLights[j][1], lz = kLights[j][2];
+    const float ln = std::sqrt(lx * lx + ly * ly + lz * lz);
+    float d = (nx * lx + ny * ly + nz * lz) / (nn * ln);
+    if (d < 0) d = -d;  // double-sided (synthetic meshes may flip winding)
+    s += kLightIntensity * d;
+  }
+  return std::min(1.f, s);
+}
+
 void render_mesh(const float* verts, int n_verts, const int32_t* faces,
                  int n_faces, const float* cam, uint8_t* image, int h, int w,
                  const float* color, float alpha) {
@@ -47,12 +79,28 @@ void render_mesh(const float* verts, int n_verts, const int32_t* faces,
     pz[i] = -z;  // camera looks along -z after the flip; smaller = closer
   }
 
+  // area-weighted vertex normals (world coords) for smooth shading
+  std::vector<float> vn(static_cast<size_t>(n_verts) * 3, 0.f);
+  for (int f = 0; f < n_faces; ++f) {
+    const int a = faces[3 * f], b = faces[3 * f + 1], c = faces[3 * f + 2];
+    const float ux = verts[3 * b] - verts[3 * a];
+    const float uy = verts[3 * b + 1] - verts[3 * a + 1];
+    const float uz = verts[3 * b + 2] - verts[3 * a + 2];
+    const float vx = verts[3 * c] - verts[3 * a];
+    const float vy = verts[3 * c + 1] - verts[3 * a + 1];
+    const float vz = verts[3 * c + 2] - verts[3 * a + 2];
+    const float nx = uy * vz - uz * vy;
+    const float ny = uz * vx - ux * vz;
+    const float nz = ux * vy - uy * vx;
+    for (int k : {a, b, c}) {
+      vn[3 * k] += nx;
+      vn[3 * k + 1] += ny;
+      vn[3 * k + 2] += nz;
+    }
+  }
+
   std::vector<float> zbuf(static_cast<size_t>(h) * w, 1e30f);
   std::vector<float> shade(static_cast<size_t>(h) * w, -1.f);
-
-  // fixed light: head-on plus a bit from the top-left
-  const float lx = -0.3f, ly = -0.5f, lz = -0.8f;
-  const float lnorm = std::sqrt(lx * lx + ly * ly + lz * lz);
 
   for (int f = 0; f < n_faces; ++f) {
     const int a = faces[3 * f], b = faces[3 * f + 1], c = faces[3 * f + 2];
@@ -70,22 +118,6 @@ void render_mesh(const float* verts, int n_verts, const int32_t* faces,
     if (std::fabs(denom) < 1e-12f) continue;
     const float inv_denom = 1.f / denom;
 
-    // face normal in world coords for flat shading
-    const float ux = verts[3 * b] - verts[3 * a];
-    const float uy = verts[3 * b + 1] - verts[3 * a + 1];
-    const float uz = verts[3 * b + 2] - verts[3 * a + 2];
-    const float vx = verts[3 * c] - verts[3 * a];
-    const float vy = verts[3 * c + 1] - verts[3 * a + 1];
-    const float vz = verts[3 * c + 2] - verts[3 * a + 2];
-    float nx = uy * vz - uz * vy;
-    float ny = uz * vx - ux * vz;
-    float nz = ux * vy - uy * vx;
-    const float nn = std::sqrt(nx * nx + ny * ny + nz * nz) + 1e-12f;
-    nx /= nn; ny /= nn; nz /= nn;
-    float diff = (nx * lx + ny * ly + nz * lz) / lnorm;
-    if (diff < 0) diff = -diff;  // double-sided
-    const float s = 0.35f + 0.65f * diff;
-
     for (int y = ymin; y <= ymax; ++y) {
       for (int x = xmin; x <= xmax; ++x) {
         const float w0 =
@@ -98,7 +130,10 @@ void render_mesh(const float* verts, int n_verts, const int32_t* faces,
         const size_t idx = static_cast<size_t>(y) * w + x;
         if (z < zbuf[idx]) {
           zbuf[idx] = z;
-          shade[idx] = s;
+          shade[idx] = shade_normal(
+              w0 * vn[3 * a] + w1 * vn[3 * b] + w2 * vn[3 * c],
+              w0 * vn[3 * a + 1] + w1 * vn[3 * b + 1] + w2 * vn[3 * c + 1],
+              w0 * vn[3 * a + 2] + w1 * vn[3 * b + 2] + w2 * vn[3 * c + 2]);
         }
       }
     }
