@@ -12,23 +12,36 @@ from typing import Dict, Optional, Sequence
 import numpy as np
 
 
-# skeleton edges for the 49-joint spin format (subset: the 14 common joints,
-# ref: _kp_utils.py get_spin_skeleton / get_common_skeleton)
-COMMON_SKELETON = [
-    (0, 1), (1, 2), (3, 4), (4, 5), (6, 7), (7, 8), (8, 2), (8, 9), (9, 3),
-    (2, 3), (8, 12), (9, 10), (12, 9), (10, 11), (12, 13),
-]
+def infer_kp_format(num_joints: int) -> Optional[str]:
+    """Best-effort keypoint format from the joint count (unique counts in
+    the registry resolve unambiguously: 49->spin, 14->common, 25->insta,
+    21->staf, ...); None when ambiguous or unknown."""
+    from tepose_tpu.data import kp_utils
+
+    preferred = ["spin", "common", "insta", "staf", "mpii3d_test",
+                 "smplcoco", "smpl", "coco", "mpii", "aich", "3dpw"]
+    matches = [f for f in preferred
+               if len(kp_utils.joint_names(f)) == num_joints]
+    return matches[0] if matches else None
 
 
 def draw_skeleton(image: np.ndarray, kp_2d: np.ndarray,
-                  unnormalize: bool = True, thickness: int = 2,
-                  radius: int = 3) -> np.ndarray:
+                  fmt: Optional[str] = None, unnormalize: bool = True,
+                  thickness: int = 2, radius: int = 3) -> np.ndarray:
     """Draw a 2D skeleton over an image (in place; returns image).
 
     kp_2d (K, 2|3) — normalised [-1,1] when `unnormalize` (model outputs) or
-    pixel coords otherwise. Uses the common-14 subset when K == 49.
+    pixel coords otherwise. `fmt` picks the bone-edge table from the keypoint
+    registry (kp_utils.skeleton); when None it is inferred from K, so a
+    49-joint SPIN overlay now draws the full face/feet/hand topology (ref:
+    vis.py:384-414 draw_skeleton + _kp_utils get_*_skeleton; the reference's
+    own loop is dead code — it trips a leftover pdb.set_trace at vis.py:404).
+    Colours mirror the reference: green joints; bones alternate blue/red
+    (left/right via COMMON_LR for the common format).
     """
     import cv2
+
+    from tepose_tpu.data import kp_utils
 
     kp = kp_2d.copy().astype(np.float32)
     if unnormalize:
@@ -36,17 +49,22 @@ def draw_skeleton(image: np.ndarray, kp_2d: np.ndarray,
         # square 224-crops, wrong on full frames otherwise)
         kp[:, 0] = (kp[:, 0] + 1.0) * 0.5 * image.shape[1]
         kp[:, 1] = (kp[:, 1] + 1.0) * 0.5 * image.shape[0]
-    if kp.shape[0] == 49:
-        kp = kp[25:39]
+    if fmt is None:
+        fmt = infer_kp_format(kp.shape[0])
+    edges = kp_utils.skeleton(fmt) if fmt is not None else []
     pts = kp[:, :2].astype(int)
     conf = kp[:, 2] if kp.shape[1] > 2 else np.ones(len(kp))
-    for a, b in COMMON_SKELETON:
-        if a < len(pts) and b < len(pts) and conf[a] > 0 and conf[b] > 0:
-            cv2.line(image, tuple(pts[a]), tuple(pts[b]), (0, 255, 120),
-                     thickness)
+    rcolor, lcolor, pcolor = (255, 0, 0), (0, 0, 255), (0, 255, 0)
+    for i, (a, b) in enumerate(edges):
+        if conf[a] > 0.3 and conf[b] > 0.3:
+            if fmt == "common":
+                color = rcolor if kp_utils.COMMON_LR[i] == 0 else lcolor
+            else:
+                color = lcolor if i % 2 == 0 else rcolor
+            cv2.line(image, tuple(pts[a]), tuple(pts[b]), color, thickness)
     for i, p in enumerate(pts):
-        if conf[i] > 0:
-            cv2.circle(image, tuple(p), radius, (255, 128, 0), -1)
+        if conf[i] > 0.3:
+            cv2.circle(image, tuple(p), radius, pcolor, -1)
     return image
 
 

@@ -33,6 +33,26 @@ def test_joint_name_lists_match_reference(ref_env):
         assert K.joint_names(fmt) == ref_names, fmt
 
 
+def test_skeleton_tables_match_reference(ref_env):
+    """Our name-pair skeleton registry must resolve to the reference's
+    hard-coded index tables EXACTLY (same edges, same order, same direction
+    — the order drives the alternating bone colours in draw_skeleton)."""
+    from lib.data_utils import _kp_utils as ref_kp
+
+    with_tables = ["insta", "staf", "spin", "common", "coco", "mpii",
+                   "aich", "3dpw", "smplcoco", "smpl"]
+    for fmt in with_tables:
+        ref_edges = getattr(ref_kp, f"get_{fmt}_skeleton")()
+        np.testing.assert_array_equal(K.skeleton(fmt), ref_edges,
+                                      err_msg=fmt)
+    # fallback formats resolve to valid in-range common-subset edges
+    for fmt in FORMATS:
+        edges = K.skeleton(fmt)
+        n = len(K.joint_names(fmt))
+        assert edges.shape[1] == 2 and len(edges) > 0, fmt
+        assert (edges >= 0).all() and (edges < n).all(), fmt
+
+
 def test_convert_kps_all_pairs_match_reference(ref_env, rng):
     from lib.data_utils import _kp_utils as ref_kp
 
