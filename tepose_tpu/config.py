@@ -102,6 +102,11 @@ def get_cfg_defaults() -> CfgNode:
         GEN_LR=1e-4,
         GEN_WD=1e-4,
         GEN_MOMENTUM=0.9,
+        # '' = f32 (exact reference parity); 'bf16' = mixed-precision GAN
+        # passes (f32 master weights; gradient parity pinned in
+        # tests/test_trainer.py). TPU-new key — the reference has no
+        # precision knob (lib/core/config.py). CLI --precision overrides.
+        PRECISION="",
     )
     cfg.TRAIN.MOT_DISCR = _node(
         OPTIM="SGD",

@@ -37,7 +37,29 @@ def test_yaml_merge_repr_config():
 def test_all_repr_configs_load():
     for name in os.listdir(CONFIG_DIR):
         cfg = update_cfg(os.path.join(CONFIG_DIR, name))
-        assert cfg.TRAIN.BATCH_SIZE == 32
+        # parity configs keep the reference batch 32; fast_train is the
+        # deliberate throughput composition (VERDICT r3 #6)
+        expected = 64 if name == "fast_train.yaml" else 32
+        assert cfg.TRAIN.BATCH_SIZE == expected, name
+
+
+def test_fast_train_config_composition():
+    """configs/fast_train.yaml must compose the measured knobs: batch 64
+    (38 2D + 26 3D under the reference's truncating ratio split) + bf16."""
+    cfg = update_cfg(os.path.join(CONFIG_DIR, "fast_train.yaml"))
+    assert cfg.TRAIN.BATCH_SIZE == 64
+    assert cfg.TRAIN.PRECISION == "bf16"
+    n_2d = int(cfg.TRAIN.BATCH_SIZE * cfg.TRAIN.DATA_2D_RATIO)
+    assert (n_2d, cfg.TRAIN.BATCH_SIZE - n_2d) == (38, 26)
+    # the 38/26 split shards over a 2-chip data-parallel mesh
+    # (parallel/dp.check_divisible needs each split divisible; 4/8 chips
+    # need DATA_2D_RATIO 0.5 -> 32/32, as the yaml comment documents)
+    assert n_2d % 2 == 0 and (cfg.TRAIN.BATCH_SIZE - n_2d) % 2 == 0
+    # everything else matches the flagship parity schedule
+    ref = update_cfg(os.path.join(CONFIG_DIR, "repr_wopw_3dpw_model.yaml"))
+    assert cfg.DATASET.SEQLEN == ref.DATASET.SEQLEN
+    assert cfg.TRAIN.GEN_LR == ref.TRAIN.GEN_LR
+    assert cfg.MODEL.TGRU.HIDDEN_SIZE == ref.MODEL.TGRU.HIDDEN_SIZE
 
 
 def test_parse_args_cli():

@@ -148,6 +148,59 @@ def test_bf16_compute_gradient_agreement(rng):
         assert np.asarray(v).dtype == np.float32 and np.isfinite(float(v)), k
 
 
+def test_fast_train_composition_bf16_batch64(rng):
+    """The configs/fast_train.yaml composition — batch 64 (38 2D + 26 3D)
+    AND compute_dtype=bfloat16 together — must keep the same gradient
+    agreement and finiteness guarantees the knobs have individually
+    (VERDICT r3 #6: the gates must cover the composition, not just the
+    parts). Tiny model dims; the real batch split."""
+    hp = TrainHyper(seqlen=6, n_2d=38, n_3d=26, update_theta_rate=1.0,
+                    disc_update_steps=1, num_gcn_scales=3, num_g3d_scales=2)
+    model_cfg = TePoseConfig(seqlen=6, n_layers=1, hidden_size=32,
+                             fast_encoder=True)
+    smpl = synthetic_smpl_model(seed=0, num_verts=64)
+
+    gen_params = tepose_init(jax.random.PRNGKey(0), model_cfg)
+    disc_params, disc_state = motion_discriminator_init(
+        jax.random.PRNGKey(1), num_gcn_scales=3, num_g3d_scales=2)
+    gen_tx = make_optimizer("sgd", 1.0)
+    disc_tx = make_optimizer("sgd", 1.0)
+
+    batch_2d, batch_3d = _tiny_batches(rng, hp)
+    amass = jnp.asarray(
+        rng.randn(1, hp.n_2d + hp.n_3d, hp.seqlen, 85)
+        .astype(np.float32) * 0.1)
+
+    fresh = lambda t: jax.tree_util.tree_map(  # noqa: E731
+        lambda x: jnp.array(np.asarray(x)), t)
+
+    def one_step(compute_dtype):
+        h = TrainHyper(**{**hp.__dict__, "compute_dtype": compute_dtype})
+        seg = make_train_segment(smpl, model_cfg, h, gen_tx, disc_tx,
+                                 LossWeights(), num_iters=1)
+        out = seg(fresh(gen_params), fresh(disc_params), fresh(disc_state),
+                  gen_tx.init(fresh(gen_params)),
+                  disc_tx.init(fresh(disc_params)),
+                  batch_2d, batch_3d, amass, jax.random.PRNGKey(7))
+        gp, dp, _, _, _, metrics = out
+        grad = np.concatenate([
+            (np.asarray(a) - np.asarray(b)).ravel() for a, b in zip(
+                jax.tree_util.tree_leaves(gp)
+                + jax.tree_util.tree_leaves(dp),
+                jax.tree_util.tree_leaves(gen_params)
+                + jax.tree_util.tree_leaves(disc_params))])
+        return grad, metrics
+
+    g32, m32 = one_step(None)
+    gbf, mbf = one_step("bfloat16")
+    cos = float(np.dot(g32, gbf)
+                / (np.linalg.norm(g32) * np.linalg.norm(gbf) + 1e-30))
+    assert cos > 0.98, cos
+    for k, v in mbf.items():
+        assert np.asarray(v).dtype == np.float32 and np.isfinite(float(v)), k
+    assert float(np.linalg.norm(gbf)) > 0  # it actually optimizes
+
+
 def test_plateau_scheduler():
     sch = ReduceLROnPlateau(patience=1, factor=0.5)
     lr = 1.0

@@ -172,12 +172,24 @@ def train_batch_scaling():
     b32 = measure_training(num_iters=60)
     b64 = measure_training(num_iters=60,
                            hp=TrainHyper(n_2d=38, n_3d=26))
+    # the configs/fast_train.yaml composition: batch 64 AND bf16 together
+    fast = measure_training(
+        num_iters=60,
+        hp=TrainHyper(n_2d=38, n_3d=26, compute_dtype="bfloat16"))
     rnd = lambda v: round(v, 4) if v is not None else None  # noqa: E731
+
+    def _fmt(d):
+        return {k: (v if isinstance(v, list) else rnd(v))
+                for k, v in d.items()}
+
     return {
-        "batch32": {k: rnd(v) for k, v in b32.items()},
-        "batch64": {k: rnd(v) for k, v in b64.items()},
+        "batch32": _fmt(b32),
+        "batch64": _fmt(b64),
+        "fast_train_b64_bf16": _fmt(fast),
         "note": "windows/s counts ITERATIONS; batch 64 does 2x the windows "
-                "per iteration, so samples/s scaling = 2 * wps64 / wps32",
+                "per iteration, so samples/s scaling = 2 * wps64 / wps32; "
+                "fast_train_b64_bf16 is the configs/fast_train.yaml "
+                "composition",
     }
 
 

@@ -114,6 +114,14 @@ def main():
                              "(choose bf16 or float32)")
 
     cfg, cfg_file, args = parse_args()
+    if compute_dtype is None and cfg.TRAIN.PRECISION:
+        # config-file precision (configs/fast_train.yaml); CLI flag wins
+        prec = str(cfg.TRAIN.PRECISION)
+        if prec in ("bf16", "bfloat16"):
+            compute_dtype = "bfloat16"
+        elif prec not in ("f32", "float32", "default"):
+            raise SystemExit(f"unknown TRAIN.PRECISION {prec!r} "
+                             "(choose bf16 or float32)")
     logdir = prepare_output_dir(cfg, cfg_file)
     if cfg.SEED_VALUE >= 0:
         np.random.seed(cfg.SEED_VALUE)
