@@ -62,7 +62,13 @@ def parse_args():
                         "background-subtraction proposals (static camera); "
                         "'stabilized' = global-motion-compensated background "
                         "subtraction (handheld/panning footage); 'none' = "
-                        "single full-frame tracklet")
+                        "single full-frame tracklet. LIMITATION: the "
+                        "motion-based detectors cannot see a fully "
+                        "MOTIONLESS person (they are background to median "
+                        "subtraction) — for static subjects pass "
+                        "--detections from any external detector (the "
+                        "reference's yolov3/maskrcnn route), or use "
+                        "--detector none for a single centred person")
     p.add_argument("--yolo_img_size", type=int, default=416,
                    help="ignored: the built-in detector replaces yolov3 "
                         "(pass --detections for external detector output)")
