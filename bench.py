@@ -429,50 +429,66 @@ def _median_spread(ts):
 
 
 def measure_training_tiers(reps=4, burn=2):
-    """f32 + bf16 GAN train segments, INTERLEAVED per-rep timing.
+    """f32 + bf16 + fast_train (batch 128 bf16) GAN segments, INTERLEAVED
+    per-rep timing.
 
     VERDICT r3 #1: burn-in (matching _time_stream's ramp treatment), >=3
-    reps, median + spread in the JSON. Interleaving the two precision
+    reps, median + spread in the JSON. Interleaving the precision/batch
     tiers rep-by-rep stops minutes-scale link/device drift from being
-    attributed to the precision mode (the same trick measure_end_to_end
-    uses for its output modes)."""
+    attributed to the tier (the same trick measure_end_to_end uses for
+    its output modes). The fast tier is the configs/fast_train.yaml
+    composition (76 2D + 52 3D, compute bf16 — BENCH_NOTES decision 3d)."""
     from tepose_tpu.train.trainer import TrainHyper
 
-    f32_iters, bf16_iters = 120, 60
+    f32_iters, bf16_iters, fast_iters = 120, 60, 30
+    failed = {"wps": float("nan"), "mfu": None,
+              "gflops_per_iter": float("nan"),
+              "wps_spread": [float("nan")] * 2}
+
     run32, fin32 = prepare_training(num_iters=f32_iters)
+    tiers = {}  # name -> (run, finish, iters, times)
     try:
         run16, fin16 = prepare_training(
             num_iters=bf16_iters, hp=TrainHyper(compute_dtype="bfloat16"))
+        tiers["bf16"] = (run16, fin16, bf16_iters, [])
     except Exception as e:  # never take down the f32 numbers with it
         print(f"# bf16 train prepare failed: {e}", file=sys.stderr)
-        run16 = fin16 = None
+    try:
+        runf, finf = prepare_training(
+            num_iters=fast_iters,
+            hp=TrainHyper(n_2d=76, n_3d=52, compute_dtype="bfloat16"))
+        tiers["fast"] = (runf, finf, fast_iters, [])
+    except Exception as e:
+        print(f"# fast_train prepare failed: {e}", file=sys.stderr)
+
     for _ in range(burn):
         run32()
-        if run16:
-            run16()
-    t32, t16 = [], []
+        for run, _, _, _ in tiers.values():
+            run()
+    t32 = []
     for _ in range(reps):
         t0 = time.time()
         run32()
         t32.append(time.time() - t0)
-        if run16:
+        for run, _, _, ts in tiers.values():
             t0 = time.time()
-            run16()
-            t16.append(time.time() - t0)
+            run()
+            ts.append(time.time() - t0)
     med, lo, hi = _median_spread(t32)
     train = fin32(med)
     train["wps_spread"] = [round(f32_iters / hi, 1),
                            round(f32_iters / lo, 1)]
-    if run16:
-        med, lo, hi = _median_spread(t16)
-        train_bf16 = fin16(med)
-        train_bf16["wps_spread"] = [round(bf16_iters / hi, 1),
-                                    round(bf16_iters / lo, 1)]
-    else:
-        train_bf16 = {"wps": float("nan"), "mfu": None,
-                      "gflops_per_iter": float("nan"),
-                      "wps_spread": [float("nan")] * 2}
-    return train, train_bf16
+
+    def _finish(name):
+        if name not in tiers:
+            return dict(failed)
+        _, fin, iters, ts = tiers[name]
+        med, lo, hi = _median_spread(ts)
+        out = fin(med)
+        out["wps_spread"] = [round(iters / hi, 1), round(iters / lo, 1)]
+        return out
+
+    return train, _finish("bf16"), _finish("fast")
 
 
 def main() -> None:
@@ -503,7 +519,7 @@ def main() -> None:
         plain_fps, fast_fps, strict_fps, tf32_fps = measure_window_scans(
             cfg, smpl, packer, flats)
         e2e = measure_end_to_end(cfg, smpl, params)
-        train, train_bf16 = measure_training_tiers()
+        train, train_bf16, train_fast = measure_training_tiers()
 
     from tepose_tpu.utils import flops as FL
 
@@ -563,6 +579,17 @@ def main() -> None:
                                "dtype='bfloat16') — train.py --precision "
                                "bf16; f32 master weights, gradient parity "
                                "pinned in tests/test_trainer.py",
+            "train_fast_windows_per_sec": round(train_fast["wps"], 1),
+            "train_fast_windows_per_sec_spread": train_fast["wps_spread"],
+            "train_fast_mfu": (round(train_fast["mfu"], 4)
+                               if train_fast["mfu"] is not None else None),
+            "train_fast_samples_per_sec": round(train_fast["wps"] * 128, 0),
+            "train_fast_note": "the shipped configs/fast_train.yaml "
+                               "composition: batch 128 (76 2D + 52 3D) + "
+                               "bf16 compute; samples/s = wps * 128 vs "
+                               "the parity default's wps * 32 "
+                               "(BENCH_NOTES decision 3d; composition "
+                               "gradient gates in tests/test_trainer.py)",
             "model_gflops_per_frame": model_gflops,
             "peak_flops_assumed": peak,
             "mfu_note": "MFU = analytic FLOPs (utils/flops.py, "

@@ -1,6 +1,7 @@
 """Integration test: the fully-scanned GAN train segment on tiny shapes."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -148,13 +149,16 @@ def test_bf16_compute_gradient_agreement(rng):
         assert np.asarray(v).dtype == np.float32 and np.isfinite(float(v)), k
 
 
-def test_fast_train_composition_bf16_batch64(rng):
-    """The configs/fast_train.yaml composition — batch 64 (38 2D + 26 3D)
-    AND compute_dtype=bfloat16 together — must keep the same gradient
+@pytest.mark.parametrize("n_2d,n_3d", [(38, 26), (76, 52)],
+                         ids=["batch64", "batch128"])
+def test_fast_train_composition_bf16(rng, n_2d, n_3d):
+    """The configs/fast_train.yaml composition — large batch (the shipped
+    128 = 76 2D + 52 3D split, plus the 64 intermediate) AND
+    compute_dtype=bfloat16 together — must keep the same gradient
     agreement and finiteness guarantees the knobs have individually
     (VERDICT r3 #6: the gates must cover the composition, not just the
-    parts). Tiny model dims; the real batch split."""
-    hp = TrainHyper(seqlen=6, n_2d=38, n_3d=26, update_theta_rate=1.0,
+    parts). Tiny model dims; the real batch splits."""
+    hp = TrainHyper(seqlen=6, n_2d=n_2d, n_3d=n_3d, update_theta_rate=1.0,
                     disc_update_steps=1, num_gcn_scales=3, num_g3d_scales=2)
     model_cfg = TePoseConfig(seqlen=6, n_layers=1, hidden_size=32,
                              fast_encoder=True)

@@ -172,10 +172,15 @@ def train_batch_scaling():
     b32 = measure_training(num_iters=60)
     b64 = measure_training(num_iters=60,
                            hp=TrainHyper(n_2d=38, n_3d=26))
-    # the configs/fast_train.yaml composition: batch 64 AND bf16 together
-    fast = measure_training(
+    b64_bf16 = measure_training(
         num_iters=60,
         hp=TrainHyper(n_2d=38, n_3d=26, compute_dtype="bfloat16"))
+    b128 = measure_training(num_iters=60,
+                            hp=TrainHyper(n_2d=76, n_3d=52))
+    # the configs/fast_train.yaml composition: batch 128 AND bf16 together
+    fast = measure_training(
+        num_iters=60,
+        hp=TrainHyper(n_2d=76, n_3d=52, compute_dtype="bfloat16"))
     rnd = lambda v: round(v, 4) if v is not None else None  # noqa: E731
 
     def _fmt(d):
@@ -185,11 +190,13 @@ def train_batch_scaling():
     return {
         "batch32": _fmt(b32),
         "batch64": _fmt(b64),
-        "fast_train_b64_bf16": _fmt(fast),
-        "note": "windows/s counts ITERATIONS; batch 64 does 2x the windows "
-                "per iteration, so samples/s scaling = 2 * wps64 / wps32; "
-                "fast_train_b64_bf16 is the configs/fast_train.yaml "
-                "composition",
+        "batch64_bf16": _fmt(b64_bf16),
+        "batch128": _fmt(b128),
+        "fast_train_b128_bf16": _fmt(fast),
+        "note": "windows/s counts ITERATIONS; batch 64/128 do 2x/4x the "
+                "windows per iteration, so samples/s scaling = "
+                "(batch/32) * wps / wps32; fast_train_b128_bf16 is the "
+                "configs/fast_train.yaml composition",
     }
 
 

@@ -48,8 +48,11 @@ def synthetic_loaders(cfg, seed=0):
         rs, videos=tuple((vl + 10, f"v{i}") for i in range(n_videos)))
     db2, pse2 = synthetic_2d_db(
         rs, clips=tuple((clip_len, f"c{i}") for i in range(n_clips)))
-    amass = {"vid_name": np.array(["m"] * 400),
-             "theta": rs.randn(400, 82).astype(np.float32) * 0.2}
+    # the discriminator loader draws BATCH_SIZE windows per step; the AMASS
+    # mocap stream yields ~frames/seqlen windows, so size it to the batch
+    n_amass = max(400, (cfg.TRAIN.BATCH_SIZE + 4) * sl + sl)
+    amass = {"vid_name": np.array(["m"] * n_amass),
+             "theta": rs.randn(n_amass, 82).astype(np.float32) * 0.2}
     over = {name: (db3, pse3) for name in
             ("mpii3d", "h36m", "human36m", "3dpw", "threedpw")}
     over.update({"posetrack": (db2, pse2), "insta": (db2, pse2),
