@@ -13,16 +13,20 @@ import numpy as np
 
 
 def infer_kp_format(num_joints: int) -> Optional[str]:
-    """Best-effort keypoint format from the joint count (unique counts in
-    the registry resolve unambiguously: 49->spin, 14->common, 25->insta,
-    21->staf, ...); None when ambiguous or unknown."""
+    """Best-effort keypoint format from the joint count. The model's own
+    output layouts resolve directly (49->spin, 14->common, 25->insta,
+    21->staf); any other count resolves only when exactly ONE registered
+    format has that many joints — None when ambiguous or unknown (e.g. 17
+    joints is coco AND h36m AND posetrack AND mpii3d_test; guessing one
+    would wire bones between the wrong joints, so pass fmt explicitly)."""
     from tepose_tpu.data import kp_utils
 
-    preferred = ["spin", "common", "insta", "staf", "mpii3d_test",
-                 "smplcoco", "smpl", "coco", "mpii", "aich", "3dpw"]
-    matches = [f for f in preferred
+    canonical = {49: "spin", 14: "common", 25: "insta", 21: "staf"}
+    if num_joints in canonical:
+        return canonical[num_joints]
+    matches = [f for f in kp_utils._REGISTRY
                if len(kp_utils.joint_names(f)) == num_joints]
-    return matches[0] if matches else None
+    return matches[0] if len(matches) == 1 else None
 
 
 def draw_skeleton(image: np.ndarray, kp_2d: np.ndarray,
@@ -56,6 +60,10 @@ def draw_skeleton(image: np.ndarray, kp_2d: np.ndarray,
     conf = kp[:, 2] if kp.shape[1] > 2 else np.ones(len(kp))
     rcolor, lcolor, pcolor = (255, 0, 0), (0, 0, 255), (0, 255, 0)
     for i, (a, b) in enumerate(edges):
+        # bounds guard: an explicit fmt whose edge table exceeds the given
+        # keypoint count degrades to drawing the in-range bones, not crashing
+        if a >= len(pts) or b >= len(pts):
+            continue
         if conf[a] > 0.3 and conf[b] > 0.3:
             if fmt == "common":
                 color = rcolor if kp_utils.COMMON_LR[i] == 0 else lcolor

@@ -182,6 +182,31 @@ def test_insta_tfrecord_roundtrip_tf_free(tmp_path, rng):
     open(bad, "wb").write(bytes(blob))
     with pytest.raises(IOError):
         list(insta_builder.iter_tfrecord(bad))
+    # ... unless the caller opted out of verification for trusted shards
+    assert len(list(insta_builder.iter_tfrecord(bad, verify_crc=False))) == 2
+
+    # a shard truncated mid-payload fails with a clean truncation error
+    # (not struct.error / a misleading crc mismatch)
+    trunc = str(tmp_path / "trunc.tfrecord")
+    open(trunc, "wb").write(open(path, "rb").read()[:-6])
+    with pytest.raises(IOError, match="truncated"):
+        list(insta_builder.iter_tfrecord(trunc, verify_crc=False))
+
+    # negative int64s round-trip (two's-complement varints on both sides)
+    neg = insta_builder.serialize_sequence_example(
+        {"k": [insta_builder.feature_ints([-1, -(1 << 40), 7])]})
+    got = insta_builder.parse_sequence_example(neg)["k"][0]
+    assert list(got) == [-1, -(1 << 40), 7]
+
+    # the pure-python CRC fallback agrees with the known test vector and
+    # with whatever accelerated binding is active
+    tables_only = insta_builder.crc32c
+    assert insta_builder.crc32c(b"123456789") == 0xE3069283
+    if insta_builder._crc32c_impl is not None:
+        import unittest.mock as um
+        with um.patch.object(insta_builder, "_crc32c_impl", None):
+            assert tables_only(b"123456789") == 0xE3069283
+            assert tables_only(raw) == insta_builder.crc32c(raw)
 
 
 def test_insta_wire_format_matches_tensorflow(tmp_path, rng):

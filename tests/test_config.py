@@ -39,22 +39,22 @@ def test_all_repr_configs_load():
         cfg = update_cfg(os.path.join(CONFIG_DIR, name))
         # parity configs keep the reference batch 32; fast_train is the
         # deliberate throughput composition (VERDICT r3 #6)
-        expected = 64 if name == "fast_train.yaml" else 32
+        expected = 128 if name == "fast_train.yaml" else 32
         assert cfg.TRAIN.BATCH_SIZE == expected, name
 
 
 def test_fast_train_config_composition():
-    """configs/fast_train.yaml must compose the measured knobs: batch 64
-    (38 2D + 26 3D under the reference's truncating ratio split) + bf16."""
+    """configs/fast_train.yaml must compose the measured knobs: batch 128
+    (76 2D + 52 3D under the reference's truncating ratio split) + bf16."""
     cfg = update_cfg(os.path.join(CONFIG_DIR, "fast_train.yaml"))
-    assert cfg.TRAIN.BATCH_SIZE == 64
+    assert cfg.TRAIN.BATCH_SIZE == 128
     assert cfg.TRAIN.PRECISION == "bf16"
     n_2d = int(cfg.TRAIN.BATCH_SIZE * cfg.TRAIN.DATA_2D_RATIO)
-    assert (n_2d, cfg.TRAIN.BATCH_SIZE - n_2d) == (38, 26)
-    # the 38/26 split shards over a 2-chip data-parallel mesh
-    # (parallel/dp.check_divisible needs each split divisible; 4/8 chips
-    # need DATA_2D_RATIO 0.5 -> 32/32, as the yaml comment documents)
-    assert n_2d % 2 == 0 and (cfg.TRAIN.BATCH_SIZE - n_2d) % 2 == 0
+    assert (n_2d, cfg.TRAIN.BATCH_SIZE - n_2d) == (76, 52)
+    # the 76/52 split shards over a 2- or 4-chip data-parallel mesh
+    # (parallel/dp.check_divisible needs each split divisible; 8 chips
+    # need DATA_2D_RATIO 0.5 -> 64/64, as the yaml comment documents)
+    assert n_2d % 4 == 0 and (cfg.TRAIN.BATCH_SIZE - n_2d) % 4 == 0
     # everything else matches the flagship parity schedule
     ref = update_cfg(os.path.join(CONFIG_DIR, "repr_wopw_3dpw_model.yaml"))
     assert cfg.DATASET.SEQLEN == ref.DATASET.SEQLEN

@@ -25,7 +25,18 @@ def test_draw_skeleton_formats(rng):
 
     assert infer_kp_format(49) == "spin"
     assert infer_kp_format(14) == "common"
+    # ambiguous counts return None instead of guessing a wrong skeleton
+    # (17 joints is coco AND h36m AND posetrack AND mpii3d_test)
+    assert infer_kp_format(17) is None
+    assert infer_kp_format(999) is None
     assert len(kp_utils.skeleton("spin")) == 25  # not the common-14 subset
+
+    # an explicit fmt whose edge table exceeds the keypoint count degrades
+    # to the in-range bones instead of raising IndexError
+    kp14 = np.full((14, 3), 0.2, np.float32)
+    kp14[:, 2] = 1.0  # visible
+    out = draw_skeleton(np.zeros((64, 64, 3), np.uint8), kp14, fmt="spin")
+    assert out.sum() > 0
 
     for fmt in ("spin", "common", "insta", "staf", "coco", "mpii", "aich",
                 "3dpw", "smplcoco", "smpl"):

@@ -37,25 +37,61 @@ from common import TePose_DB_DIR, load_backbone  # noqa: E402
 # with CRC-32C (Castagnoli) and TF's rotate+offset masking.)
 # ---------------------------------------------------------------------------
 
-_CRC_TABLE = []
+_CRC_TABLES = []  # slice-by-8: 8 lookup tables of 256 entries
+
+def _find_crc32c_impl():
+    """C-accelerated CRC-32C when a binding is importable (google_crc32c
+    ships in this image); returns a bytes->int callable or None."""
+    try:
+        import google_crc32c  # type: ignore
+        return google_crc32c.value
+    except ImportError:
+        pass
+    try:
+        import crc32c as _c  # type: ignore
+        return _c.crc32c
+    except ImportError:
+        return None
 
 
-def _crc32c_table():
-    if not _CRC_TABLE:
+_crc32c_impl = _find_crc32c_impl()
+
+
+def _crc32c_tables():
+    if not _CRC_TABLES:
         poly = 0x82F63B78  # reflected Castagnoli polynomial
+        t0 = []
         for i in range(256):
             c = i
             for _ in range(8):
                 c = (c >> 1) ^ poly if c & 1 else c >> 1
-            _CRC_TABLE.append(c)
-    return _CRC_TABLE
+            t0.append(c)
+        _CRC_TABLES.append(t0)
+        for k in range(1, 8):
+            prev = _CRC_TABLES[k - 1]
+            _CRC_TABLES.append(
+                [(prev[i] >> 8) ^ t0[prev[i] & 0xFF] for i in range(256)])
+    return _CRC_TABLES
 
 
 def crc32c(data: bytes) -> int:
-    tab = _crc32c_table()
+    if _crc32c_impl is not None:
+        return int(_crc32c_impl(data)) & 0xFFFFFFFF
+    t = _crc32c_tables()
+    t0, t1, t2, t3, t4, t5, t6, t7 = t
     c = 0xFFFFFFFF
-    for b in data:
-        c = tab[(c ^ b) & 0xFF] ^ (c >> 8)
+    n = len(data) & ~7
+    # slice-by-8 (Intel's technique): one table hop per byte but only one
+    # loop iteration per 8 bytes — ~6x the byte-at-a-time python loop
+    words = struct.unpack(f"<{n // 8}Q", data[:n]) if n else ()
+    for w in words:
+        w ^= c
+        c = (t7[w & 0xFF] ^ t6[(w >> 8) & 0xFF]
+             ^ t5[(w >> 16) & 0xFF] ^ t4[(w >> 24) & 0xFF]
+             ^ t3[(w >> 32) & 0xFF] ^ t2[(w >> 40) & 0xFF]
+             ^ t1[(w >> 48) & 0xFF] ^ t0[(w >> 56) & 0xFF])
+    for b in data[n:]:
+        c = t0[(c ^ b) & 0xFF] ^ (c >> 8)
     return c ^ 0xFFFFFFFF
 
 
@@ -67,7 +103,8 @@ def _masked_crc(data: bytes) -> int:
 def iter_tfrecord(path: str, verify_crc: bool = True):
     """Yield record payloads from a TFRecord file, verifying the masked
     CRC-32C of both the length word and the payload (corrupt shards fail
-    loudly instead of decoding garbage keypoints)."""
+    loudly instead of decoding garbage keypoints; pass verify_crc=False
+    to skip the checksums on trusted shards)."""
     with open(path, "rb") as f:
         while True:
             header = f.read(12)
@@ -79,7 +116,10 @@ def iter_tfrecord(path: str, verify_crc: bool = True):
             if verify_crc and _masked_crc(header[:8]) != len_crc:
                 raise IOError(f"{path}: length crc mismatch")
             payload = f.read(length)
-            (data_crc,) = struct.unpack("<I", f.read(4))
+            crc_bytes = f.read(4)
+            if len(payload) < length or len(crc_bytes) < 4:
+                raise IOError(f"{path}: truncated record payload")
+            (data_crc,) = struct.unpack("<I", crc_bytes)
             if verify_crc and _masked_crc(payload) != data_crc:
                 raise IOError(f"{path}: payload crc mismatch")
             yield payload
@@ -163,6 +203,9 @@ def _parse_feature(buf: bytes):
                         out.append(x)
                 else:
                     out.append(v)
+            # int64 rides the wire as an unsigned varint (two's complement
+            # for negatives, matching _varint_bytes on the encode side)
+            out = [x - (1 << 64) if x >= (1 << 63) else x for x in out]
             return np.asarray(out, np.int64)
     return []
 
@@ -270,7 +313,7 @@ def _parse_example(raw: bytes):
 
 
 def read_data(folder: str, out_path: str = None, backbone=None,
-              mesh=None) -> str:
+              mesh=None, verify_crc: bool = True) -> str:
     import cv2
     import h5py
 
@@ -299,7 +342,7 @@ def read_data(folder: str, out_path: str = None, backbone=None,
                 d[-arr.shape[0]:] = arr
 
         for ri, rec_path in enumerate(records):
-            for vi, raw in enumerate(iter_tfrecord(rec_path)):
+            for vi, raw in enumerate(iter_tfrecord(rec_path, verify_crc)):
                 frames, kps = _parse_example(raw)
                 if frames is None or len(frames) < 8:
                     continue
@@ -334,8 +377,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", default="data/insta_variety")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--no-verify-crc", action="store_true",
+                    help="skip the per-record CRC-32C checks (the pure-"
+                         "python CRC costs CPU time on multi-GB shard "
+                         "sets; safe for shards you trust)")
     args = ap.parse_args()
-    read_data(args.dir, args.out)
+    read_data(args.dir, args.out, verify_crc=not args.no_verify_crc)
 
 
 if __name__ == "__main__":
