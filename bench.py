@@ -429,66 +429,71 @@ def _median_spread(ts):
 
 
 def measure_training_tiers(reps=4, burn=2):
-    """f32 + bf16 + fast_train (batch 128 bf16) GAN segments, INTERLEAVED
-    per-rep timing.
+    """f32 + bf16 + fast_train GAN segments, INTERLEAVED per-rep timing.
 
     VERDICT r3 #1: burn-in (matching _time_stream's ramp treatment), >=3
     reps, median + spread in the JSON. Interleaving the precision/batch
     tiers rep-by-rep stops minutes-scale link/device drift from being
     attributed to the tier (the same trick measure_end_to_end uses for
     its output modes). The fast tier is the configs/fast_train.yaml
-    composition (76 2D + 52 3D, compute bf16 — BENCH_NOTES decision 3d)."""
+    composition (76 2D + 52 3D, compute bf16 — BENCH_NOTES decision 3d).
+
+    A tier must never take down the others: prepare AND per-rep run
+    failures (a transient tunnel error, a tier-only runtime fault) drop
+    only that tier — the rest keep their already-collected timings. Each
+    result carries its `batch` so callers derive samples/s from the same
+    TrainHyper that was timed instead of re-stating the split."""
     from tepose_tpu.train.trainer import TrainHyper
 
-    f32_iters, bf16_iters, fast_iters = 120, 60, 30
+    specs = [  # name -> (iters per segment call, hyperparams)
+        ("f32", 120, TrainHyper()),
+        ("bf16", 60, TrainHyper(compute_dtype="bfloat16")),
+        ("fast", 30, TrainHyper(n_2d=76, n_3d=52,
+                                compute_dtype="bfloat16")),
+    ]
     failed = {"wps": float("nan"), "mfu": None,
               "gflops_per_iter": float("nan"),
-              "wps_spread": [float("nan")] * 2}
+              "wps_spread": [float("nan")] * 2, "batch": None}
 
-    run32, fin32 = prepare_training(num_iters=f32_iters)
-    tiers = {}  # name -> (run, finish, iters, times)
-    try:
-        run16, fin16 = prepare_training(
-            num_iters=bf16_iters, hp=TrainHyper(compute_dtype="bfloat16"))
-        tiers["bf16"] = (run16, fin16, bf16_iters, [])
-    except Exception as e:  # never take down the f32 numbers with it
-        print(f"# bf16 train prepare failed: {e}", file=sys.stderr)
-    try:
-        runf, finf = prepare_training(
-            num_iters=fast_iters,
-            hp=TrainHyper(n_2d=76, n_3d=52, compute_dtype="bfloat16"))
-        tiers["fast"] = (runf, finf, fast_iters, [])
-    except Exception as e:
-        print(f"# fast_train prepare failed: {e}", file=sys.stderr)
+    tiers = {}  # name -> [run, finish, iters, times, batch]
+    for name, iters, hp in specs:
+        try:
+            run, fin = prepare_training(num_iters=iters, hp=hp)
+        except Exception as e:
+            print(f"# {name} train prepare failed: {e}", file=sys.stderr)
+            continue
+        tiers[name] = [run, fin, iters, [], hp.n_2d + hp.n_3d]
 
-    for _ in range(burn):
-        run32()
-        for run, _, _, _ in tiers.values():
-            run()
-    t32 = []
-    for _ in range(reps):
-        t0 = time.time()
-        run32()
-        t32.append(time.time() - t0)
-        for run, _, _, ts in tiers.values():
+    def _rep(name, timed):
+        run = tiers[name][0]
+        try:
             t0 = time.time()
             run()
-            ts.append(time.time() - t0)
-    med, lo, hi = _median_spread(t32)
-    train = fin32(med)
-    train["wps_spread"] = [round(f32_iters / hi, 1),
-                           round(f32_iters / lo, 1)]
+            if timed:
+                tiers[name][3].append(time.time() - t0)
+        except Exception as e:
+            print(f"# {name} train rep failed (tier dropped): {e}",
+                  file=sys.stderr)
+            del tiers[name]
+
+    for _ in range(burn):
+        for name in list(tiers):
+            _rep(name, timed=False)
+    for _ in range(reps):
+        for name in list(tiers):
+            _rep(name, timed=True)
 
     def _finish(name):
-        if name not in tiers:
+        if name not in tiers or not tiers[name][3]:
             return dict(failed)
-        _, fin, iters, ts = tiers[name]
+        _, fin, iters, ts, batch = tiers[name]
         med, lo, hi = _median_spread(ts)
         out = fin(med)
         out["wps_spread"] = [round(iters / hi, 1), round(iters / lo, 1)]
+        out["batch"] = batch
         return out
 
-    return train, _finish("bf16"), _finish("fast")
+    return _finish("f32"), _finish("bf16"), _finish("fast")
 
 
 def main() -> None:
@@ -583,13 +588,15 @@ def main() -> None:
             "train_fast_windows_per_sec_spread": train_fast["wps_spread"],
             "train_fast_mfu": (round(train_fast["mfu"], 4)
                                if train_fast["mfu"] is not None else None),
-            "train_fast_samples_per_sec": round(train_fast["wps"] * 128, 0),
+            "train_fast_samples_per_sec": round(
+                train_fast["wps"] * (train_fast["batch"] or 0), 0),
             "train_fast_note": "the shipped configs/fast_train.yaml "
-                               "composition: batch 128 (76 2D + 52 3D) + "
-                               "bf16 compute; samples/s = wps * 128 vs "
-                               "the parity default's wps * 32 "
-                               "(BENCH_NOTES decision 3d; composition "
-                               "gradient gates in tests/test_trainer.py)",
+                               f"composition: batch {train_fast['batch']} "
+                               "+ bf16 compute; samples/s = wps * batch "
+                               "vs the parity default's wps * "
+                               f"{train['batch']} (BENCH_NOTES decision "
+                               "3d; composition gradient gates in "
+                               "tests/test_trainer.py)",
             "model_gflops_per_frame": model_gflops,
             "peak_flops_assumed": peak,
             "mfu_note": "MFU = analytic FLOPs (utils/flops.py, "
@@ -599,9 +606,9 @@ def main() -> None:
                         f"({(peak or 0) / 1e12:.0f} TFLOP/s for this "
                         "chip); f32 tensors run bf16 MXU passes at "
                         "default matmul precision",
-            "train_note": "full GAN segment, batch 32 (19 2D + 13 3D), "
-                          "scheduled sampling + disc update, flagship "
-                          "shapes (trainer.py:124-247)",
+            "train_note": f"full GAN segment, batch {train['batch']} "
+                          "(19 2D + 13 3D), scheduled sampling + disc "
+                          "update, flagship shapes (trainer.py:124-247)",
             "host_link_MB_per_sec": round(link_mbps, 1),
             "end_to_end_note": "8 streams x 120 frames of raw 224x224 u8 "
                                "crops through one fused ResNet-50 + windows "

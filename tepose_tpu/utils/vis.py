@@ -13,17 +13,15 @@ import numpy as np
 
 
 def infer_kp_format(num_joints: int) -> Optional[str]:
-    """Best-effort keypoint format from the joint count. The model's own
-    output layouts resolve directly (49->spin, 14->common, 25->insta,
-    21->staf); any other count resolves only when exactly ONE registered
-    format has that many joints — None when ambiguous or unknown (e.g. 17
-    joints is coco AND h36m AND posetrack AND mpii3d_test; guessing one
-    would wire bones between the wrong joints, so pass fmt explicitly)."""
+    """Best-effort keypoint format from the joint count. A count resolves
+    only when exactly ONE registered format has that many joints (the
+    model's own output layouts all do: 49->spin, 25->insta, 21->staf) —
+    None when ambiguous or unknown, because guessing would wire bones
+    between the wrong joints (17 is coco AND h36m AND posetrack AND
+    mpii3d_test; 14 is common AND aich AND 3dpw — pass fmt explicitly,
+    e.g. fmt="common" for metric-space keypoints)."""
     from tepose_tpu.data import kp_utils
 
-    canonical = {49: "spin", 14: "common", 25: "insta", 21: "staf"}
-    if num_joints in canonical:
-        return canonical[num_joints]
     matches = [f for f in kp_utils._REGISTRY
                if len(kp_utils.joint_names(f)) == num_joints]
     return matches[0] if len(matches) == 1 else None

@@ -24,10 +24,12 @@ def test_draw_skeleton_formats(rng):
     from tepose_tpu.utils.vis import infer_kp_format
 
     assert infer_kp_format(49) == "spin"
-    assert infer_kp_format(14) == "common"
     # ambiguous counts return None instead of guessing a wrong skeleton
-    # (17 joints is coco AND h36m AND posetrack AND mpii3d_test)
+    # (17 joints is coco AND h36m AND posetrack AND mpii3d_test; 14 is
+    # common AND aich AND 3dpw — aich joint 0 is rshoulder where common
+    # joint 0 is rankle, so a guessed table scrambles the figure)
     assert infer_kp_format(17) is None
+    assert infer_kp_format(14) is None
     assert infer_kp_format(999) is None
     assert len(kp_utils.skeleton("spin")) == 25  # not the common-14 subset
 
