@@ -31,17 +31,43 @@ class _ProducerFailure:
 
 
 class BatchLoader:
-    """Shuffled, infinitely-cycling batch iterator with thread prefetch."""
+    """Shuffled, infinitely-cycling batch iterator with thread prefetch.
+
+    Multi-process (multi-host pod) sharding: pass ``num_shards`` /
+    ``shard_index`` and each process ASSEMBLES only its contiguous
+    ``batch_size/num_shards`` slice of every global batch — per-host data
+    loading (SURVEY.md §2.6). ``batch_size`` stays the GLOBAL batch size;
+    the epoch permutation is drawn from the seed alone, so as long as every
+    process constructs the loader with the same seed (they do — seeds come
+    from the config), the process-major concatenation of all shards' items
+    is bit-identical to the single-process batch
+    (tests/test_multiprocess.py pins this).
+    """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
-                 seed: int = 0, prefetch: int = 2, drop_last: bool = True):
+                 seed: int = 0, prefetch: int = 2, drop_last: bool = True,
+                 num_shards: int = 1, shard_index: int = 0):
         if batch_size <= 0:
             raise ValueError(f"batch_size must be >= 1, got {batch_size} "
                              "(degenerate 2D/3D batch split?)")
+        if not (0 <= shard_index < num_shards):
+            raise ValueError(
+                f"shard_index {shard_index} out of range for "
+                f"{num_shards} shards")
+        if batch_size % num_shards:
+            raise ValueError(
+                f"global batch of {batch_size} rows does not divide across "
+                f"{num_shards} processes")
+        if num_shards > 1 and not drop_last:
+            raise ValueError(
+                "sharded loading requires drop_last=True — a ragged final "
+                "batch cannot split evenly across processes")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.num_shards = num_shards
+        self.shard_index = shard_index
         self._rng = np.random.RandomState(seed)
         self._prefetch = prefetch
         self._queue: Optional[queue.Queue] = None
@@ -64,11 +90,17 @@ class BatchLoader:
             while not self._stop.is_set():
                 order = self._epoch_order()
                 nb = len(self)
+                per = self.batch_size // self.num_shards
                 for b in range(nb):
                     if self._stop.is_set():
                         return
                     sel = order[b * self.batch_size:
                                 (b + 1) * self.batch_size]
+                    # this process assembles only its contiguous slice of
+                    # the global batch (matches the process-major row
+                    # layout distributed.put_global expects)
+                    sel = sel[self.shard_index * per:
+                              (self.shard_index + 1) * per]
                     batch = stack_items([self.dataset[int(i)] for i in sel])
                     self._queue.put(batch)
         except BaseException as e:  # noqa: BLE001
@@ -108,7 +140,8 @@ class BatchLoader:
                 pass
 
 
-def get_data_loaders(cfg, db_overrides: Optional[Dict] = None):
+def get_data_loaders(cfg, db_overrides: Optional[Dict] = None,
+                     num_shards: int = 1, shard_index: int = 0):
     """Build (train_2d, train_3d, motion_disc, valid) loaders from a config.
 
     ref: loaders.py:61-130 — batch split: 2D rows =
@@ -118,6 +151,12 @@ def get_data_loaders(cfg, db_overrides: Optional[Dict] = None):
 
     db_overrides maps dataset-name -> (db, psetheta) for tests / preloaded
     data.
+
+    num_shards/shard_index (multi-process runtime,
+    parallel/distributed.py): the three TRAIN loaders each assemble only
+    this process's batch slice; the valid loader is NOT sharded — every
+    process gets the full eval videos, and evaluate-side work splits over
+    the global mesh inside jit instead.
     """
     from tepose_tpu.data import datasets as D
 
@@ -169,19 +208,21 @@ def get_data_loaders(cfg, db_overrides: Optional[Dict] = None):
             f"{n_2d} 2D rows per batch — add a 2D dataset or use a "
             "config with one (all reference configs do)")
 
+    shard_kw = dict(num_shards=num_shards, shard_index=shard_index)
     ds2 = Concat([make(n, True) for n in cfg.TRAIN.DATASETS_2D])
     train_2d = BatchLoader(ds2, n_2d, seed=cfg.SEED_VALUE + 1
-                           if cfg.SEED_VALUE >= 0 else 1)
+                           if cfg.SEED_VALUE >= 0 else 1, **shard_kw)
 
     ds3 = Concat([make(n, False) for n in cfg.TRAIN.DATASETS_3D])
     train_3d = BatchLoader(ds3, n_3d, seed=cfg.SEED_VALUE + 2
-                           if cfg.SEED_VALUE >= 0 else 2)
+                           if cfg.SEED_VALUE >= 0 else 2, **shard_kw)
 
     amass_kw = {}
     if "amass" in over:
         amass_kw["db"] = over["amass"][0]
     disc = BatchLoader(D.AMASS(seqlen, **amass_kw), cfg.TRAIN.BATCH_SIZE,
-                       seed=cfg.SEED_VALUE + 3 if cfg.SEED_VALUE >= 0 else 3)
+                       seed=cfg.SEED_VALUE + 3 if cfg.SEED_VALUE >= 0 else 3,
+                       **shard_kw)
 
     eval_name = cfg.TRAIN.DATASET_EVAL
     eval_kw = {}

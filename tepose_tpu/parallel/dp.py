@@ -56,13 +56,17 @@ class MeshTreePlacer:
         # host np.asarray, NOT jnp: this runs once per training iteration
         # on the full batch pytree, and staging each leaf on the default
         # device before the sharded device_put would transfer every
-        # multi-MB batch twice over the host link
+        # multi-MB batch twice over the host link. put_global handles the
+        # multi-process runtime, where each leaf is this host's LOCAL
+        # batch slice (per-host loaders, data/loaders.py num_shards).
+        from tepose_tpu.parallel.distributed import put_global
+
         leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
         out = []
         for path, x in leaves:
             if not hasattr(x, "sharding"):
                 x = np.asarray(x)
-            out.append(jax.device_put(x, self._sharding(path, x)))
+            out.append(put_global(x, self._sharding(path, x)))
         return tuple(out)
 
     def unpack_np(self, flats) -> Any:

@@ -17,11 +17,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tepose_tpu.parallel import distributed
 from tepose_tpu.train import checkpoint as ckpt
 from tepose_tpu.train.optim import ReduceLROnPlateau, get_lr, set_lr
 from tepose_tpu.train.validate import validate_epoch
 from tepose_tpu.utils.logging import AverageMeter, MetricWriter, create_logger
 from tepose_tpu.utils.profiling import NaNGuard
+
+
+def _as_device(f):
+    """Stage a packed flat on device. MeshTreePlacer flats are already
+    placed (possibly multi-process global arrays, which device_put must not
+    touch — they are not fully addressable); FlatPacker flats are host
+    numpy buffers."""
+    return f if hasattr(f, "sharding") else jax.device_put(jnp.asarray(f))
 
 
 class TrainLoop:
@@ -76,12 +85,16 @@ class TrainLoop:
                        batch_size: int) -> np.ndarray:
         """Pre-sample (num_iters, B, S, 85) real-motion windows for a segment
         (the reference draws one AMASS batch per inner step,
-        trainer.py:165-176)."""
-        out = np.zeros((num_iters, batch_size, self.hp.seqlen, 85),
-                       np.float32)
+        trainer.py:165-176).
+
+        Multi-process: the disc loader is per-host sharded, so this process
+        holds only its `batch_size/P` rows — the mesh placer assembles the
+        global (num_iters, B, S, 85) array from all hosts' slices."""
+        local = batch_size // distributed.process_count()
+        out = np.zeros((num_iters, local, self.hp.seqlen, 85), np.float32)
         for i in range(num_iters):
             batch = next(disc_iter)["theta"]
-            out[i] = batch[:batch_size]
+            out[i] = batch[:local]
         return out
 
     def _ensure_segment(self, b2, b3, amass) -> None:
@@ -92,8 +105,7 @@ class TrainLoop:
         data_template = {"batch_2d": b2, "batch_3d": b3, "amass": amass}
         self.segment, self.carry_packer, self.data_packer =             self.segment_factory(carry_template, data_template)
         self.carry_flats = tuple(
-            jax.device_put(jnp.asarray(f))
-            for f in self.carry_packer.pack_np(carry_template))
+            _as_device(f) for f in self.carry_packer.pack_np(carry_template))
 
     def _push_carry_to_device(self) -> None:
         """Re-pack the (possibly host-mutated) trees into the device carry —
@@ -103,8 +115,7 @@ class TrainLoop:
         carry = (self.gen_params, self.disc_params, self.disc_state,
                  self.gen_opt, self.disc_opt)
         self.carry_flats = tuple(
-            jax.device_put(jnp.asarray(f))
-            for f in self.carry_packer.pack_np(carry))
+            _as_device(f) for f in self.carry_packer.pack_np(carry))
 
     def _sync_carry_to_host(self) -> None:
         """Fetch the device carry and refresh the host-side pytrees."""
@@ -129,7 +140,7 @@ class TrainLoop:
                 itd, self.num_iters, self.hp.n_2d + self.hp.n_3d)
             self._ensure_segment(b2, b3, amass)
             data_flats = tuple(
-                jnp.asarray(f) for f in self.data_packer.pack_np(
+                _as_device(f) for f in self.data_packer.pack_np(
                     {"batch_2d": b2, "batch_3d": b3, "amass": amass}))
             self.rng, k = jax.random.split(self.rng)
             self.carry_flats, mvec = self.segment(self.carry_flats,
@@ -167,6 +178,8 @@ class TrainLoop:
         predicted skeleton + mesh with the GT skeleton (ref: trainer.py:
         272-279 -> vis.py:330-382; without image crops in the feature-based
         batches, overlays draw on blank canvases)."""
+        if not distributed.is_primary():
+            return  # debug artifacts are primary-owned files
         try:
             import cv2
 
@@ -278,24 +291,30 @@ class TrainLoop:
         path = osp.join(self.logdir, "checkpoint.npz")
         # update best BEFORE the (single) save so the written metadata is
         # final — a second full-npz rewrite just to refresh one scalar
-        # would double the checkpoint I/O on every improving epoch
+        # would double the checkpoint I/O on every improving epoch.
+        # Every process tracks best_performance (metrics are replicated),
+        # but only the primary writes the shared-filesystem artifacts.
         is_best = performance < self.best_performance
         if is_best:
             self.best_performance = performance
-        ckpt.save_checkpoint(
-            path,
-            {"gen": self.gen_params, "disc": self.disc_params,
-             "disc_state": self.disc_state,
-             "gen_opt": _opt_to_tree(self.gen_opt),
-             "disc_opt": _opt_to_tree(self.disc_opt)},
-            {"epoch": epoch, "performance": self.best_performance,
-             "gen_sched": self.gen_sched.state_dict(),
-             "disc_sched": self.disc_sched.state_dict()})
-        if is_best:
-            self.logger.info("Best performance achieved, saving it!")
-            ckpt.mark_best(self.logdir)
-            with open(osp.join(self.logdir, "best.txt"), "w") as f:
-                f.write(str(float(performance)))
+        if distributed.is_primary():
+            ckpt.save_checkpoint(
+                path,
+                {"gen": self.gen_params, "disc": self.disc_params,
+                 "disc_state": self.disc_state,
+                 "gen_opt": _opt_to_tree(self.gen_opt),
+                 "disc_opt": _opt_to_tree(self.disc_opt)},
+                {"epoch": epoch, "performance": self.best_performance,
+                 "gen_sched": self.gen_sched.state_dict(),
+                 "disc_sched": self.disc_sched.state_dict()})
+            if is_best:
+                self.logger.info("Best performance achieved, saving it!")
+                ckpt.mark_best(self.logdir)
+                with open(osp.join(self.logdir, "best.txt"), "w") as f:
+                    f.write(str(float(performance)))
+        # readers (NaNGuard rollback on any process) must never see a
+        # half-written checkpoint
+        distributed.barrier("checkpoint_saved")
 
     def resume(self, path: str) -> None:
         if not osp.isfile(path):

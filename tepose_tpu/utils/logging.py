@@ -19,41 +19,78 @@ import time
 from typing import Dict, Optional
 
 
+def _is_primary() -> bool:
+    """Artifact-writer gate for the multi-process runtime. Kept lazy — the
+    logging module must import without jax."""
+    try:
+        from tepose_tpu.parallel import distributed
+
+        return distributed.is_primary()
+    except Exception:
+        return True
+
+
 def create_logger(logdir: str, phase: str = "train") -> logging.Logger:
-    os.makedirs(logdir, exist_ok=True)
-    log_file = osp.join(logdir, f"{phase}_log.txt")
     logger = logging.getLogger()
     if logger.handlers:
         for h in list(logger.handlers):
             logger.removeHandler(h)
             h.close()  # else old FileHandler fds leak across re-inits
-    logging.basicConfig(
-        level=logging.INFO,
-        format="%(asctime)s %(message)s",
-        handlers=[logging.FileHandler(log_file), logging.StreamHandler()],
-    )
+    handlers = [logging.StreamHandler()]
+    # multi-process: only the primary owns the (shared-filesystem) log file;
+    # other processes keep console logging, prefixed by process id
+    fmt = "%(asctime)s %(message)s"
+    if _is_primary():
+        os.makedirs(logdir, exist_ok=True)
+        handlers.insert(0, logging.FileHandler(
+            osp.join(logdir, f"{phase}_log.txt")))
+    else:
+        from tepose_tpu.parallel import distributed
+
+        fmt = f"%(asctime)s [p{distributed.process_index()}] %(message)s"
+    logging.basicConfig(level=logging.INFO, format=fmt, handlers=handlers)
     return logger
 
 
 def prepare_output_dir(cfg, cfg_file: Optional[str] = None) -> str:
-    """Timestamped experiment dir + config snapshot (ref: utils.py:185-200)."""
+    """Timestamped experiment dir + config snapshot (ref: utils.py:185-200).
+
+    Multi-process: the primary picks the timestamped name and broadcasts it
+    so every process agrees on ONE logdir (checkpoint rollback/resume read
+    the primary's files over the shared filesystem); only the primary
+    writes the config snapshot."""
     logtime = time.strftime("%d-%m-%Y_%H-%M-%S")
     logdir = f"{logtime}_{cfg.EXP_NAME}"
     logdir = osp.join(cfg.OUTPUT_DIR, logdir)
-    os.makedirs(logdir, exist_ok=True)
+    try:
+        from tepose_tpu.parallel import distributed
+
+        if distributed.process_count() > 1:
+            logdir = distributed.broadcast_str(logdir)
+    except Exception:
+        pass
     cfg.LOGDIR = logdir
-    with open(osp.join(logdir, "config.yaml"), "w") as f:
-        f.write(cfg.dump())
+    if _is_primary():
+        os.makedirs(logdir, exist_ok=True)
+        with open(osp.join(logdir, "config.yaml"), "w") as f:
+            f.write(cfg.dump())
     return logdir
 
 
 class MetricWriter:
-    """Scalar sink: JSONL always; tensorboard when available."""
+    """Scalar sink: JSONL always; tensorboard when available.
+
+    Multi-process: metrics are replicated (GSPMD reductions make them
+    identical on every process), so only the primary writes — concurrent
+    appends to one shared metrics.jsonl would interleave corruptly."""
 
     def __init__(self, logdir: str):
+        self._f = None
+        self._tb = None
+        if not _is_primary():
+            return
         os.makedirs(logdir, exist_ok=True)
         self._f = open(osp.join(logdir, "metrics.jsonl"), "a")
-        self._tb = None
         try:
             from torch.utils.tensorboard import SummaryWriter
 
@@ -62,6 +99,8 @@ class MetricWriter:
             pass
 
     def add_scalar(self, tag: str, value: float, global_step: int) -> None:
+        if self._f is None:
+            return
         self._f.write(json.dumps(
             {"tag": tag, "value": float(value), "step": int(global_step),
              "time": time.time()}) + "\n")
@@ -75,7 +114,8 @@ class MetricWriter:
             self.add_scalar(f"{prefix}{k}", v, step)
 
     def close(self) -> None:
-        self._f.close()
+        if self._f is not None:
+            self._f.close()
         if self._tb is not None:
             self._tb.close()
 

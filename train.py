@@ -18,17 +18,26 @@ sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
 
 import numpy as np  # noqa: E402
 
+from tepose_tpu.parallel import distributed  # noqa: E402
 from tepose_tpu.utils.cache import enable_persistent_cache  # noqa: E402
 
+# Join the multi-host coordination service FIRST (no-op unless the pod
+# launcher set TEPOSE_COORDINATOR/...): enable_persistent_cache queries the
+# backend, and jax.distributed.initialize must precede any backend init.
+# After this, jax.devices() is the global pod-wide list
+# (parallel/distributed.py).
+distributed.maybe_initialize()
 enable_persistent_cache()
 
 
 
-def synthetic_loaders(cfg, seed=0):
+def synthetic_loaders(cfg, seed=0, num_shards=1, shard_index=0):
     """In-memory synthetic DBs wired through the real dataset/loader stack.
 
     Sized to the configured batch: the loaders drop incomplete batches, so
-    the DBs must hold at least one full batch of videos/clips each."""
+    the DBs must hold at least one full batch of videos/clips each.
+    Multi-process: the DBs are seed-deterministic, so every process builds
+    identical data and the sharded loaders slice it per host."""
     from tests.test_datasets import synthetic_2d_db, synthetic_3d_db
 
     rs = np.random.RandomState(seed)
@@ -59,7 +68,8 @@ def synthetic_loaders(cfg, seed=0):
                  "amass": (amass, None)})
     from tepose_tpu.data.loaders import get_data_loaders
 
-    return get_data_loaders(cfg, db_overrides=over)
+    return get_data_loaders(cfg, db_overrides=over, num_shards=num_shards,
+                            shard_index=shard_index)
 
 
 def main():
@@ -87,12 +97,27 @@ def main():
         i = sys.argv.index("--smoke-iters")
         smoke_iters = int(sys.argv[i + 1])
         del sys.argv[i:i + 2]
+    # synthetic-only: shrink the synthetic SMPL so subprocess smoke tests
+    # (e.g. the 2-process CPU rig, tests/test_multiprocess.py) compile fast
+    smoke_verts = None
+    if "--smoke-verts" in sys.argv:
+        i = sys.argv.index("--smoke-verts")
+        smoke_verts = int(sys.argv[i + 1])
+        del sys.argv[i:i + 2]
     devices = 1
     if "--devices" in sys.argv:
         i = sys.argv.index("--devices")
         devices = sys.argv[i + 1]
         del sys.argv[i:i + 2]
         devices = len(jax.devices()) if devices == "auto" else int(devices)
+    if distributed.process_count() > 1:
+        # multi-process runtime: the mesh must span every host's devices
+        # (jax arrays assemble from per-process local shards)
+        if devices not in (1, len(jax.devices())):
+            raise SystemExit(
+                f"multi-process training uses all {len(jax.devices())} "
+                f"global devices; drop --devices or pass 'auto'")
+        devices = len(jax.devices())
     profile_dir = None
     if "--profile" in sys.argv:
         i = sys.argv.index("--profile")
@@ -144,7 +169,8 @@ def main():
         smpl = load_smpl_assets(smpl_npz)
         faces = load_smpl_faces(smpl_npz)
     elif synthetic:
-        smpl = synthetic_smpl_model(seed=0)
+        smpl = (synthetic_smpl_model(seed=0, num_verts=smoke_verts)
+                if smoke_verts else synthetic_smpl_model(seed=0))
         # triangle soup so the DEBUG mesh-overlay path renders something
         idx = np.arange(smpl.num_verts - 2)
         faces = np.stack([idx, idx + 1, idx + 2], axis=1)[::7].astype(np.int32)
@@ -176,7 +202,12 @@ def main():
               f"'{cfg.TRAIN.PRETRAINED_REGRESSOR}'")
 
     # data -----------------------------------------------------------------
-    loaders = synthetic_loaders(cfg) if synthetic else get_data_loaders(cfg)
+    # per-host data loading: each process assembles only its slice of every
+    # global batch (SURVEY.md §2.6; data/loaders.BatchLoader num_shards)
+    shard_kw = dict(num_shards=distributed.process_count(),
+                    shard_index=distributed.process_index())
+    loaders = (synthetic_loaders(cfg, **shard_kw) if synthetic
+               else get_data_loaders(cfg, **shard_kw))
 
     n_2d = int(cfg.TRAIN.BATCH_SIZE * cfg.TRAIN.DATA_2D_RATIO)  # ref trunc
     hp = TrainHyper(
