@@ -177,12 +177,14 @@ def measure_end_to_end(cfg, smpl, params, n_streams=8, frames=120):
         vibe_params = vibe_init(jax.random.PRNGKey(1), vcfg)
         backbone = resnet50_init(jax.random.PRNGKey(2))
 
-    def make_engine(**kw):
+    def make_engine(crop_batch=16, **kw):
         # crop_batch=16: measured chunk-size optimum for the lax.map'd
-        # ResNet-50 (engine.__init__ / BENCH_NOTES.md) — small chunks keep
-        # conv activations VMEM-resident, +27% over chunk 120
+        # f32 ResNet-50 (engine.__init__ / BENCH_NOTES.md) — small chunks
+        # keep conv activations VMEM-resident, +27% over chunk 120. The
+        # serving presets pass None so the engine picks the bf16 optimum
+        # (128) itself.
         return StreamingEngine(smpl, params, vibe_params, backbone, cfg,
-                               vcfg, crop_batch=16,
+                               vcfg, crop_batch=crop_batch,
                                window_bucket=frames, **kw)
 
     engine = make_engine()
@@ -197,11 +199,15 @@ def measure_end_to_end(cfg, smpl, params, n_streams=8, frames=120):
     # the readback-traffic knobs (VERDICT r2: the link is the measured
     # bottleneck of this path; f16 halves the bytes, joints-only drops the
     # 6890x3 verts entirely)
+    # "serving"/"joints" are the COMPOSED presets (streaming.engine
+    # ENGINE_PRESETS: bf16 backbone + f16 outputs [+ joints-only]) — the
+    # single-switch serving modes demo.py --serving ships (VERDICT r4 #4);
+    # "f16" isolates the output-dtype knob on the parity f32 backbone.
     engines = {
         "f32": engine,
         "f16": make_engine(output_dtype=jnp.float16),
-        "joints": make_engine(outputs=("theta", "kp_3d"),
-                              output_dtype=jnp.float16),
+        "serving": make_engine(crop_batch=None, preset="serving"),
+        "joints": make_engine(crop_batch=None, preset="serving-joints"),
     }
 
     def warm(eng):
@@ -213,6 +219,8 @@ def measure_end_to_end(cfg, smpl, params, n_streams=8, frames=120):
     outs = warm(engines["f32"])
     assert outs[0]["verts"].shape == (frames, smpl.num_verts, 3)
     warm(engines["f16"])
+    s_outs = warm(engines["serving"])
+    assert s_outs[0]["verts"].dtype == np.float16
     warm(engines["joints"])
 
     # INTERLEAVED reps: the dev link's bandwidth drifts on the minutes
@@ -227,9 +235,9 @@ def measure_end_to_end(cfg, smpl, params, n_streams=8, frames=120):
             t0 = time.time()
             eng.run_tracklets_from_crops(crops)  # syncs internally
             times[k] += time.time() - t0
-    full_fps, f16_fps, joints_fps = (
+    full_fps, f16_fps, serving_fps, joints_fps = (
         n_streams * frames / (times[k] / reps)
-        for k in ("f32", "f16", "joints"))
+        for k in ("f32", "f16", "serving", "joints"))
 
     # device-compute-only: same fused program with crops pre-staged in HBM
     # and outputs left on device. Isolates the accelerator from the axon
@@ -267,6 +275,7 @@ def measure_end_to_end(cfg, smpl, params, n_streams=8, frames=120):
         "full_fps": full_fps,
         "dev_fps": dev_fps,
         "f16_fps": f16_fps,
+        "serving_fps": serving_fps,
         "joints_fps": joints_fps,
         "mfu": (dev_fps * flops_per_frame / peak) if peak else None,
         "gflops_per_frame": flops_per_frame / 1e9,
@@ -602,8 +611,16 @@ def main() -> None:
                 round(e2e["full_fps"], 1),
             "end_to_end_f16_outputs_fps_link_bound":
                 round(e2e["f16_fps"], 1),
-            "end_to_end_joints_only_f16_fps_link_bound":
+            "end_to_end_serving_preset_fps_link_bound":
+                round(e2e["serving_fps"], 1),
+            "end_to_end_serving_joints_fps_link_bound":
                 round(e2e["joints_fps"], 1),
+            "serving_preset_note": "the composed one-switch serving modes "
+                                   "(engine preset='serving[-joints]' / "
+                                   "demo.py --serving): bf16 backbone at "
+                                   "its chunk-128 optimum + f16 output "
+                                   "readbacks [+ joints-only outputs]; "
+                                   "parity gates in tests/test_engine.py",
             "link_bound_note": "*_link_bound fields include host->device "
                                "crop upload + output readback over the dev "
                                "tunnel; its bandwidth "
@@ -660,7 +677,8 @@ def main() -> None:
                                "crops through one fused ResNet-50 + windows "
                                "scan + SMPL verts program (demo.py:171-252 "
                                "path incl. host transfers; f32 / f16 / "
-                               "joints-only output modes measured)",
+                               "composed serving / serving-joints modes "
+                               "measured interleaved)",
         },
     }), allow_nan=False))
 

@@ -81,6 +81,14 @@ def parse_args():
                    help="bf16 runs the ResNet-50 feature extractor in "
                         "bfloat16 (1.4x faster, ~0.13%% feature error — "
                         "fine for live demo, not for metric eval)")
+    p.add_argument("--serving", nargs="?", const="serving",
+                   choices=["serving", "serving-joints"], default=None,
+                   help="composed serving preset (bf16 backbone + f16 "
+                        "output readbacks; 'serving-joints' additionally "
+                        "ships joints only — no meshes, so it excludes "
+                        "rendering/--save_obj). One switch for the "
+                        "individually-measured serving knobs; see "
+                        "streaming.engine.ENGINE_PRESETS")
     p.add_argument("--save_pkl", action="store_true")
     p.add_argument("--save_obj", action="store_true")
     p.add_argument("--run_smplify", action="store_true")
@@ -243,8 +251,12 @@ def run_live(args, crop_size: int = 224):
 
     session = LiveSession(
         smpl, tepose_params, vibe_params, mcfg, vcfg, n_streams=K,
-        backbone_params=backbone_params, outputs=("theta", "verts", "kp_3d"),
-        backbone_dtype=_jnp.bfloat16 if args.precision == "bf16" else None)
+        backbone_params=backbone_params,
+        outputs=(("theta", "kp_3d")
+                 if args.serving == "serving-joints"
+                 else ("theta", "verts", "kp_3d")),
+        backbone_dtype=_jnp.bfloat16 if args.precision == "bf16" else None,
+        preset=args.serving)
     if K > 1:
         from tepose_tpu.streaming.tracker import CausalPeopleTracker
 
@@ -303,13 +315,14 @@ def run_live(args, crop_size: int = 224):
             if rows is not None:
                 r = rows[s]
                 r["theta"].append(out["theta"][s])
-                r["verts"].append(out["verts"][s])
+                if "verts" in out:  # absent under --serving serving-joints
+                    r["verts"].append(out["verts"][s])
                 r["joints3d"].append(out["kp_3d"][s])
                 r["orig_cam"].append(orig_cam[s])
                 r["bboxes"].append(bbox_ch[s])
                 r["valid"].append(bool(out["valid"][s]))
                 r["present"].append(bool(present_s[s]))
-            if present_s[s]:
+            if present_s[s] and "verts" in out:
                 rendered = render_mesh(out["verts"][s], faces, orig_cam[s],
                                        rendered)
         if writer_box["w"] is None:
@@ -384,6 +397,16 @@ def run_live(args, crop_size: int = 224):
 
 def main():
     args = parse_args()
+    if args.serving == "serving-joints":
+        # joints-only serving computes no meshes at all
+        blocked = [f for f in ("save_obj", "wireframe", "sideview",
+                               "display") if getattr(args, f)]
+        if blocked:
+            sys.exit("--serving serving-joints ships joints only (no "
+                     "meshes); drop " + ", ".join("--" + f for f in blocked))
+        if not args.save_pkl and not args.live:
+            sys.exit("--serving serving-joints skips rendering — pass "
+                     "--save_pkl so the run produces an output")
 
     import jax
 
@@ -469,7 +492,8 @@ def main():
 
     engine = StreamingEngine(
         smpl, tepose_params, vibe_params, backbone_params, mcfg, vcfg,
-        backbone_dtype=_jnp.bfloat16 if args.precision == "bf16" else None)
+        backbone_dtype=_jnp.bfloat16 if args.precision == "bf16" else None,
+        preset=args.serving)
 
     # ---- per-tracklet streaming (batched across tracklets) -----------------
     stream_time_start = time.time()
@@ -517,7 +541,7 @@ def main():
         sq = squares[pid]
 
         pred_theta = out["theta"]
-        pred_verts = out["verts"]
+        pred_verts = out.get("verts")  # absent under serving-joints
 
         if args.run_smplify and "joints2d" in tr:
             # Temporal-SMPLify refinement against the tracked 2D keypoints
@@ -578,7 +602,7 @@ def main():
             "pose": pred_theta[:, 3:75],
             "betas": pred_theta[:, 75:],
             "joints3d": out["kp_3d"],
-            "kp_2d": out["kp_2d"],
+            "kp_2d": out.get("kp_2d"),
             "bboxes": bbox_ch,
             "frame_ids": tr["frames"],
         }
@@ -600,6 +624,18 @@ def main():
         pkl_path = osp.join(args.output_folder, f"tepose_{base}_output.pkl")
         joblib.dump(results, pkl_path)
         print(f"Saved results to {pkl_path}")
+
+    if args.serving == "serving-joints":
+        # joints-only serving computes no meshes: nothing to render
+        print("serving-joints: skipped rendering (no verts in outputs)")
+        total = time.time() - total_time_start
+        print(f"Total FPS (including model loading): "
+              f"{num_frames / total:.2f}")
+        print(f"Stage timing: {timer.report()}")
+        if args.profile:
+            jax.profiler.stop_trace()
+            print(f"Saved device trace to {args.profile}")
+        return
 
     # ---- rendering ---------------------------------------------------------
     frame_results = D.prepare_rendering_results(results, num_frames)

@@ -106,7 +106,19 @@ class LiveSession:
                  backbone_params: Optional[Dict] = None,
                  outputs: Tuple[str, ...] = ("theta", "kp_3d"),
                  theta_pseu: Optional[np.ndarray] = None,
-                 mesh=None, backbone_dtype=None):
+                 mesh=None, backbone_dtype=None, preset=None):
+        # the composed serving preset (streaming.engine.ENGINE_PRESETS):
+        # for the live path it means the bf16 backbone — outputs already
+        # default to joints-only, and the readback is ONE packed f32
+        # buffer whose cost is the link RTT, not its bytes (f16 packing
+        # would change nothing; see the output-packer note below)
+        if preset not in (None, "parity", "serving", "serving-joints"):
+            from tepose_tpu.streaming.engine import ENGINE_PRESETS
+
+            raise ValueError(
+                f"unknown preset {preset!r}; choose from {ENGINE_PRESETS}")
+        if preset in ("serving", "serving-joints") and backbone_dtype is None:
+            backbone_dtype = jnp.bfloat16
         if not outputs:
             raise ValueError("outputs must be non-empty")  # as in the engine
         bad = set(outputs) - set(LIVE_OUTPUTS)

@@ -228,3 +228,51 @@ def test_joints_only_outputs(rng):
 
     with pytest.raises(ValueError):
         _engine(outputs=("theta", "bogus"))
+
+
+def test_serving_preset_composition(rng):
+    """The composed serving presets (VERDICT r4 #4; demo.py --serving):
+    preset='serving' must BE the explicit bf16-backbone + f16-outputs
+    composition (same compiled program, bitwise-equal outputs), stay within
+    1 mm of the bf16-backbone/f32-output engine (the output knob adds only
+    f16 rounding on top of the measured backbone tier), and
+    'serving-joints' must additionally select the joints-only output set.
+    """
+    import jax.numpy as jnp
+    import pytest
+
+    from tepose_tpu.streaming.engine import apply_engine_preset
+
+    serving = _engine(preset="serving")
+    explicit = _engine(backbone_dtype=jnp.bfloat16,
+                       output_dtype=jnp.float16)
+    bf16_f32out = _engine(backbone_dtype=jnp.bfloat16)
+    crops = (rng.rand(10, 3, 64, 64) * 255).astype(np.uint8)
+
+    a = serving.run_tracklets_from_crops([crops])[0]
+    b = explicit.run_tracklets_from_crops([crops])[0]
+    c = bf16_f32out.run_tracklets_from_crops([crops])[0]
+
+    assert a["verts"].dtype == np.float16
+    assert a["theta"].dtype == np.float32  # feedback stays f32 (engine doc)
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    # composition vs the bf16 tier alone: only f16 output rounding (verts
+    # are meters; 1e-3 = 1 mm, same bar as test_f16_outputs_within_1mm)
+    assert np.abs(c["verts"] - a["verts"].astype(np.float32)).max() < 1e-3
+    np.testing.assert_allclose(c["theta"], a["theta"], atol=1e-5)
+
+    joints = _engine(preset="serving-joints")
+    j = joints.run_tracklets_from_crops([crops])[0]
+    assert set(j) == {"theta", "kp_3d"}
+    np.testing.assert_allclose(j["theta"], a["theta"], atol=1e-5)
+
+    # explicit knobs win over the preset; unknown names error
+    override = _engine(preset="serving", output_dtype=jnp.float32)
+    assert override.output_dtype == jnp.float32
+    assert override.backbone_dtype == jnp.bfloat16
+    with pytest.raises(ValueError, match="preset"):
+        _engine(preset="turbo")
+    bd, od, outs = apply_engine_preset(None, None, None,
+                                       ("theta", "verts"))
+    assert (bd, od, outs) == (None, None, ("theta", "verts"))

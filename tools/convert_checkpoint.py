@@ -21,6 +21,9 @@ entries (the `regressor.smpl.*` constant buffers the torch module carries,
 optimizer/scheduler states) so the reference's STRICT `load_state_dict`
 (ref: evaluate.py:124, trainer.py:423) accepts the file; without it the
 state dicts contain only the learned weights (load with strict=False).
+
+`convert_forward` / `convert_reverse` are importable (used by
+tools/verify_release.py's one-command release verification).
 """
 
 import argparse
@@ -32,59 +35,53 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("src")
-    ap.add_argument("dst")
-    ap.add_argument("--kind", choices=["tepose", "vibe", "spin"],
-                    default="tepose")
-    ap.add_argument("--reverse", action="store_true",
-                    help="convert our .npz back to a reference .pth.tar")
-    ap.add_argument("--like", default="",
-                    help="reference checkpoint seeding the reverse output's "
-                         "extra entries (smpl buffers, optimizer states)")
-    args = ap.parse_args()
+def convert_reverse(src: str, dst: str, like: str = "") -> None:
+    """Our .npz checkpoint -> a reference-layout .pth.tar."""
+    import torch  # CPU torch, only needed for conversion
 
+    from tepose_tpu.train.checkpoint import (
+        export_torch_discriminator, export_torch_generator, load_checkpoint)
+
+    trees, scalars = load_checkpoint(src)
+
+    def to_torch(flat):
+        # explicit copy: exported leaves can be views of torch storage
+        return {k: torch.from_numpy(np.array(v))
+                for k, v in flat.items()}
+
+    base = (torch.load(like, map_location="cpu", weights_only=False)
+            if like else {})
+    out = dict(base)
+    gen_sd = dict(base.get("gen_state_dict", {}))
+    gen_sd.update(to_torch(export_torch_generator(trees["gen"])))
+    out["gen_state_dict"] = gen_sd
+    if "disc" in trees:
+        disc_sd = dict(base.get("disc_motion_state_dict", {}))
+        disc_sd.update(to_torch(export_torch_discriminator(
+            trees["disc"], trees.get("disc_state", {}))))
+        out["disc_motion_state_dict"] = disc_sd
+    for k in ("performance", "epoch"):
+        if k in scalars:
+            # the reference stores epoch as an int (trainer.py:394)
+            out[k] = int(scalars[k]) if k == "epoch" else scalars[k]
+    torch.save(out, dst)
+    print(f"wrote {dst} (reference layout"
+          f"{', seeded from ' + like if like else ''})")
+
+
+def convert_forward(src: str, dst: str, kind: str = "tepose") -> None:
+    """A reference .pth.tar -> our .npz checkpoint."""
     import torch  # CPU torch, only needed for conversion
 
     from tepose_tpu.train.checkpoint import (
         convert_torch_discriminator, convert_torch_generator,
-        export_torch_discriminator, export_torch_generator, load_checkpoint,
         save_checkpoint, strip_module_prefix)
 
-    if args.reverse:
-        trees, scalars = load_checkpoint(args.src)
-
-        def to_torch(flat):
-            # explicit copy: exported leaves can be views of torch storage
-            return {k: torch.from_numpy(np.array(v))
-                    for k, v in flat.items()}
-
-        base = (torch.load(args.like, map_location="cpu", weights_only=False)
-                if args.like else {})
-        out = dict(base)
-        gen_sd = dict(base.get("gen_state_dict", {}))
-        gen_sd.update(to_torch(export_torch_generator(trees["gen"])))
-        out["gen_state_dict"] = gen_sd
-        if "disc" in trees:
-            disc_sd = dict(base.get("disc_motion_state_dict", {}))
-            disc_sd.update(to_torch(export_torch_discriminator(
-                trees["disc"], trees.get("disc_state", {}))))
-            out["disc_motion_state_dict"] = disc_sd
-        for k in ("performance", "epoch"):
-            if k in scalars:
-                # the reference stores epoch as an int (trainer.py:394)
-                out[k] = int(scalars[k]) if k == "epoch" else scalars[k]
-        torch.save(out, args.dst)
-        print(f"wrote {args.dst} (reference layout"
-              f"{', seeded from ' + args.like if args.like else ''})")
-        return
-
-    ckpt = torch.load(args.src, map_location="cpu", weights_only=False)
+    ckpt = torch.load(src, map_location="cpu", weights_only=False)
 
     trees = {}
     scalars = {}
-    if args.kind in ("tepose", "vibe"):
+    if kind in ("tepose", "vibe"):
         sd = ckpt["gen_state_dict"] if "gen_state_dict" in ckpt else ckpt
         trees["gen"] = convert_torch_generator(sd)
         if "disc_motion_state_dict" in ckpt:
@@ -116,8 +113,27 @@ def main() -> None:
         from tepose_tpu.models.backbone import convert_torch_resnet50
         trees["backbone"] = convert_torch_resnet50(sd)
 
-    save_checkpoint(args.dst, trees, scalars)
-    print(f"wrote {args.dst} ({len(trees)} trees)")
+    save_checkpoint(dst, trees, scalars)
+    print(f"wrote {dst} ({len(trees)} trees)")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("src")
+    ap.add_argument("dst")
+    ap.add_argument("--kind", choices=["tepose", "vibe", "spin"],
+                    default="tepose")
+    ap.add_argument("--reverse", action="store_true",
+                    help="convert our .npz back to a reference .pth.tar")
+    ap.add_argument("--like", default="",
+                    help="reference checkpoint seeding the reverse output's "
+                         "extra entries (smpl buffers, optimizer states)")
+    args = ap.parse_args()
+
+    if args.reverse:
+        convert_reverse(args.src, args.dst, args.like)
+    else:
+        convert_forward(args.src, args.dst, args.kind)
 
 
 if __name__ == "__main__":
