@@ -72,12 +72,30 @@ void render_mesh(const float* verts, int n_verts, const int32_t* faces,
                  const float* color, float alpha) {
   std::vector<float> px(n_verts), py(n_verts), pz(n_verts);
   const float sx = cam[0], sy = cam[1], tx = cam[2], ty = cam[3];
+  // screen bbox of the whole mesh: the z/shade working buffers and the
+  // composite pass below are clipped to it. Full-frame buffers cost a
+  // FIXED ~12 ms per 1080p call (two 2-Mpixel clears + a 2-Mpixel
+  // composite scan) — 4x the actual triangle work for a typical
+  // demo-sized person (measured, BENCH_NOTES.md render stage).
+  float mxmin = 1e30f, mxmax = -1e30f, mymin = 1e30f, mymax = -1e30f;
   for (int i = 0; i < n_verts; ++i) {
     const float x = verts[3 * i], y = verts[3 * i + 1], z = verts[3 * i + 2];
     px[i] = (1.f + sx * (x + tx)) * 0.5f * w;
     py[i] = (1.f + sy * (-y + ty)) * 0.5f * h;
     pz[i] = -z;  // camera looks along -z after the flip; smaller = closer
+    if (std::isfinite(px[i]) && std::isfinite(py[i])) {
+      mxmin = std::min(mxmin, px[i]);
+      mxmax = std::max(mxmax, px[i]);
+      mymin = std::min(mymin, py[i]);
+      mymax = std::max(mymax, py[i]);
+    }
   }
+  const int bx0 = std::max(0, (int)std::floor(mxmin));
+  const int bx1 = std::min(w - 1, (int)std::ceil(mxmax));
+  const int by0 = std::max(0, (int)std::floor(mymin));
+  const int by1 = std::min(h - 1, (int)std::ceil(mymax));
+  if (bx0 > bx1 || by0 > by1) return;  // fully off-frame
+  const int bw = bx1 - bx0 + 1, bh = by1 - by0 + 1;
 
   // area-weighted vertex normals (world coords) for smooth shading
   std::vector<float> vn(static_cast<size_t>(n_verts) * 3, 0.f);
@@ -99,8 +117,11 @@ void render_mesh(const float* verts, int n_verts, const int32_t* faces,
     }
   }
 
-  std::vector<float> zbuf(static_cast<size_t>(h) * w, 1e30f);
-  std::vector<float> shade(static_cast<size_t>(h) * w, -1.f);
+  // bbox-local working buffers (indexed (y-by0)*bw + (x-bx0)); every
+  // triangle's clipped pixel range lies inside the mesh bbox by
+  // construction, so the raster loop below never indexes outside them
+  std::vector<float> zbuf(static_cast<size_t>(bh) * bw, 1e30f);
+  std::vector<float> shade(static_cast<size_t>(bh) * bw, -1.f);
 
   for (int f = 0; f < n_faces; ++f) {
     const int a = faces[3 * f], b = faces[3 * f + 1], c = faces[3 * f + 2];
@@ -108,10 +129,12 @@ void render_mesh(const float* verts, int n_verts, const int32_t* faces,
     const float x1 = px[b], y1 = py[b], z1 = pz[b];
     const float x2 = px[c], y2 = py[c], z2 = pz[c];
 
-    const int xmin = std::max(0, (int)std::floor(std::min({x0, x1, x2})));
-    const int xmax = std::min(w - 1, (int)std::ceil(std::max({x0, x1, x2})));
-    const int ymin = std::max(0, (int)std::floor(std::min({y0, y1, y2})));
-    const int ymax = std::min(h - 1, (int)std::ceil(std::max({y0, y1, y2})));
+    // clamp to the mesh bbox, not the frame: keeps the bbox-local buffer
+    // indexing in range even for degenerate/non-finite vertex coords
+    const int xmin = std::max(bx0, (int)std::floor(std::min({x0, x1, x2})));
+    const int xmax = std::min(bx1, (int)std::ceil(std::max({x0, x1, x2})));
+    const int ymin = std::max(by0, (int)std::floor(std::min({y0, y1, y2})));
+    const int ymax = std::min(by1, (int)std::ceil(std::max({y0, y1, y2})));
     if (xmin > xmax || ymin > ymax) continue;
 
     const float denom = (y1 - y2) * (x0 - x2) + (x2 - x1) * (y0 - y2);
@@ -127,7 +150,7 @@ void render_mesh(const float* verts, int n_verts, const int32_t* faces,
         const float w2 = 1.f - w0 - w1;
         if (w0 < 0 || w1 < 0 || w2 < 0) continue;
         const float z = w0 * z0 + w1 * z1 + w2 * z2;
-        const size_t idx = static_cast<size_t>(y) * w + x;
+        const size_t idx = static_cast<size_t>(y - by0) * bw + (x - bx0);
         if (z < zbuf[idx]) {
           zbuf[idx] = z;
           shade[idx] = shade_normal(
@@ -139,11 +162,11 @@ void render_mesh(const float* verts, int n_verts, const int32_t* faces,
     }
   }
 
-  for (int y = 0; y < h; ++y) {
-    for (int x = 0; x < w; ++x) {
-      const size_t idx = static_cast<size_t>(y) * w + x;
+  for (int y = by0; y <= by1; ++y) {
+    for (int x = bx0; x <= bx1; ++x) {
+      const size_t idx = static_cast<size_t>(y - by0) * bw + (x - bx0);
       if (shade[idx] < 0) continue;
-      uint8_t* p = image + 3 * idx;
+      uint8_t* p = image + 3 * (static_cast<size_t>(y) * w + x);
       for (int ch = 0; ch < 3; ++ch) {
         const float mesh = 255.f * color[ch] * shade[idx];
         const float out = alpha * mesh + (1.f - alpha) * p[ch];

@@ -246,6 +246,70 @@ def train_time_breakdown():
     }
 
 
+def render_benchmark():
+    """Host rasterizer throughput (VERDICT r4 #3): SMPL-sized mesh (6890
+    verts / ~13.6k faces sphere-grid stand-in; real faces are
+    license-gated), 1080p frame, several person sizes and counts, native
+    vs numpy fallback. Host-only — the reference renders via pyrender/EGL
+    on the GPU (ref: lib/utils/renderer.py:36-121); here rendering is CPU
+    and must keep up with the video rate, not the TPU."""
+    from tepose_tpu.native import (_render_mesh_numpy, have_native,
+                                   render_mesh)
+
+    nu = nv = 83  # 6889 verts, 13612 faces ~ SMPL's 6890/13776
+    u = np.linspace(0, np.pi, nu)
+    v = np.linspace(0, 2 * np.pi, nv, endpoint=False)
+    uu, vv = np.meshgrid(u, v, indexing="ij")
+    verts = np.stack([0.3 * np.sin(uu) * np.cos(vv), 0.9 * np.cos(uu),
+                      0.3 * np.sin(uu) * np.sin(vv)],
+                     -1).reshape(-1, 3).astype(np.float32)
+    faces = []
+    for i in range(nu - 1):
+        for j in range(nv):
+            a, b = i * nv + j, i * nv + (j + 1) % nv
+            c, d = (i + 1) * nv + j, (i + 1) * nv + (j + 1) % nv
+            faces += [[a, b, c], [b, d, c]]
+    faces = np.asarray(faces, np.int32)
+    frame = np.zeros((1080, 1920, 3), np.uint8)
+
+    def time_ms(fn, reps):
+        fn()  # warm
+        t0 = time.time()
+        for _ in range(reps):
+            fn()
+        return (time.time() - t0) / reps * 1e3
+
+    out = {"native": bool(have_native()),
+           "mesh": f"{len(verts)} verts / {len(faces)} faces, 1080p"}
+    # person sizes: cam sx scales the on-screen person (0.3 ~ a 330x960 px
+    # demo person, 0.7 ~ frame-filling)
+    for scale, label in [(0.15, "small_person"), (0.3, "typical_person"),
+                         (0.7, "frame_filling_person")]:
+        cam = np.array([scale, scale * 1.78, 0.0, 0.0], np.float32)
+        ms = time_ms(lambda: render_mesh(verts, faces, cam, frame.copy()),
+                     reps=8)
+        out[f"native_{label}_ms"] = round(ms, 2)
+        out[f"native_{label}_fps"] = round(1e3 / ms, 1)
+    for n_people in (2, 4):
+        offs = np.linspace(-0.9, 0.9, n_people)
+
+        def multi():
+            img = frame.copy()
+            for k in range(n_people):
+                render_mesh(verts, faces,
+                            np.array([0.3, 0.55, offs[k] * 3, 0.0],
+                                     np.float32), img)
+        ms = time_ms(multi, reps=6)
+        out[f"native_typical_{n_people}people_ms"] = round(ms, 2)
+        out[f"native_typical_{n_people}people_fps"] = round(1e3 / ms, 1)
+    cam = np.array([0.3, 0.534, 0.0, 0.0], np.float32)
+    ms = time_ms(lambda: _render_mesh_numpy(
+        verts, faces, cam, frame.copy(),
+        np.array([1.0, 1.0, 0.9]), 0.9), reps=2)
+    out["numpy_fallback_typical_person_ms"] = round(ms, 1)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--profile", default="")
@@ -257,11 +321,13 @@ def main():
 
     ctx = trace(args.profile) if args.profile else contextlib.nullcontext()
     with ctx:
+        render = render_benchmark()  # host-only, before any device work
         stages = stage_breakdown()
         chunk_sweep = backbone_chunk_sweep()
         scaling = train_batch_scaling()
         tbreak = train_time_breakdown()
-    print(json.dumps({"stage_breakdown": stages,
+    print(json.dumps({"render_benchmark": render,
+                      "stage_breakdown": stages,
                       "backbone_chunk_sweep_crops_per_s": chunk_sweep,
                       "train_batch_scaling": scaling,
                       "train_time_breakdown": tbreak}, indent=1))
