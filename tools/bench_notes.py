@@ -200,7 +200,50 @@ def train_batch_scaling():
     }
 
 
-def train_time_breakdown():
+def train_batch_knee(vidlen=30, num_iters=60):
+    """Extend the batch curve to its knee (VERDICT r4 weak #1): batch 256
+    and 512 beyond the shipped fast tier's 128, bf16 (the fast-tier
+    compute dtype) plus a 256-f32 reference point. Synthetic data;
+    vidlen 30 instead of the flagship 126 — per-iteration compute depends
+    on (batch, seqlen), not vidlen (windows are sampled per iteration),
+    and the flagship vidlen at batch 512 would ship ~850 MB of features
+    over the dev tunnel per variant just to stage the batch."""
+    sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+    from bench import measure_training
+    from tepose_tpu.train.trainer import TrainHyper
+
+    def hp(b, dtype=None):
+        n_2d = int(b * 0.6)  # the configs' DATA_2D_RATIO split
+        kw = {"compute_dtype": dtype} if dtype else {}
+        return TrainHyper(n_2d=n_2d, n_3d=b - n_2d, **kw)
+
+    out = {}
+    for label, h in (
+            ("batch128_bf16", hp(128, "bfloat16")),
+            ("batch256_f32", hp(256)),
+            ("batch256_bf16", hp(256, "bfloat16")),
+            ("batch512_bf16", hp(512, "bfloat16"))):
+        try:
+            r = measure_training(vidlen=vidlen, num_iters=num_iters, hp=h)
+            out[label] = {
+                "wps": round(r["wps"], 2),
+                "samples_per_sec": round(
+                    r["wps"] * (h.n_2d + h.n_3d), 0),
+                "mfu": round(r["mfu"], 4) if r["mfu"] else None,
+                "wps_spread": r.get("wps_spread"),
+            }
+        except Exception as e:  # OOM at the top of the curve is a finding
+            out[label] = {"error": f"{type(e).__name__}: {e}"[:300]}
+        print(f"knee: {label} -> {out[label]}", flush=True)
+    out["note"] = ("vidlen 30 (upload bound over the dev tunnel); "
+                   "per-iter compute is vidlen-independent, so MFU and "
+                   "the batch-scaling shape are comparable with the "
+                   "vidlen-126 rows, absolute wps slightly higher (less "
+                   "window-gather indexing)")
+    return out
+
+
+def train_time_breakdown(hp=None, label=""):
     """Forward / backward / optimizer attribution of the GAN step.
 
     Same segment, three builds (trainer.make_train_segment `mode`):
@@ -213,12 +256,17 @@ def train_time_breakdown():
     minutes apart would soak link/device drift into exactly those deltas
     (the effect bench.py's measure_end_to_end interleaving fixed for the
     output modes).
+
+    `hp` re-runs the attribution at non-default shapes — VERDICT r4
+    weak #1 asks for it at the shipped fast tier
+    (TrainHyper(n_2d=76, n_3d=52, compute_dtype="bfloat16")).
     """
     sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
     from bench import prepare_training
 
     modes = ("forward", "grad", "full")
-    prepared = {m: prepare_training(num_iters=60, mode=m) for m in modes}
+    prepared = {m: prepare_training(num_iters=60, hp=hp, mode=m)
+                for m in modes}
     # untimed burn cycles: the first timed loop after a compile window runs
     # far slower than steady state (device/link ramp, BENCH_NOTES
     # decision 8) — measured 24x on the forward segment once — and the
@@ -310,27 +358,51 @@ def render_benchmark():
     return out
 
 
+STAGES = ("render", "stage", "chunk", "scaling", "breakdown",
+          "breakdown_fast", "knee")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--profile", default="")
+    ap.add_argument("--stages", default="render,stage,chunk,scaling,"
+                                        "breakdown",
+                    help=f"comma list from {STAGES}; 'knee' and "
+                         "'breakdown_fast' are the fast-tier MFU probes "
+                         "(VERDICT r4 weak #1), off by default because "
+                         "they re-compile big-batch segments")
     args = ap.parse_args()
+    sel = set(args.stages.split(","))
+    bad = sel - set(STAGES)
+    if bad:
+        ap.error(f"unknown stages {sorted(bad)}")
 
     import contextlib
 
     from tepose_tpu.utils.profiling import trace
 
     ctx = trace(args.profile) if args.profile else contextlib.nullcontext()
+    out = {}
     with ctx:
-        render = render_benchmark()  # host-only, before any device work
-        stages = stage_breakdown()
-        chunk_sweep = backbone_chunk_sweep()
-        scaling = train_batch_scaling()
-        tbreak = train_time_breakdown()
-    print(json.dumps({"render_benchmark": render,
-                      "stage_breakdown": stages,
-                      "backbone_chunk_sweep_crops_per_s": chunk_sweep,
-                      "train_batch_scaling": scaling,
-                      "train_time_breakdown": tbreak}, indent=1))
+        if "render" in sel:  # host-only, before any device work
+            out["render_benchmark"] = render_benchmark()
+        if "stage" in sel:
+            out["stage_breakdown"] = stage_breakdown()
+        if "chunk" in sel:
+            out["backbone_chunk_sweep_crops_per_s"] = backbone_chunk_sweep()
+        if "scaling" in sel:
+            out["train_batch_scaling"] = train_batch_scaling()
+        if "breakdown" in sel:
+            out["train_time_breakdown"] = train_time_breakdown()
+        if "breakdown_fast" in sel:
+            from tepose_tpu.train.trainer import TrainHyper
+
+            out["train_time_breakdown_fast_tier"] = train_time_breakdown(
+                hp=TrainHyper(n_2d=76, n_3d=52,
+                              compute_dtype="bfloat16"))
+        if "knee" in sel:
+            out["train_batch_knee"] = train_batch_knee()
+    print(json.dumps(out, indent=1))
 
 
 if __name__ == "__main__":
