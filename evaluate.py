@@ -376,11 +376,14 @@ def _render_eval_video(dataset, seq_name, d, pred_theta, smpl, args,
 
 def precision_scope(name: str):
     """Matmul-precision tier for eval, evidence in tools/precision_sweep.json
-    (measured on v5e vs an f64 oracle over a 61-window feedback rollout):
+    (measured on v5e vs an f64 oracle over 61-window AND full-VIDLEN
+    520-frame/515-window feedback rollouts — the reference's video cap,
+    ref: dataset_3d.py:54, where feedback compounding is worst):
 
       * tensorfloat32 (default) — 3-pass bf16 matmuls: max joint deviation
-        0.0014 mm / MPVPE 0.023 mm, 70x inside the 0.1 mm north-star bar
-        (BASELINE.md), at 1.77x the strict-f32 throughput.
+        0.0005 mm / MPVPE 0.016 mm at FULL video length, >100x inside the
+        0.1 mm north-star bar (BASELINE.md), at 1.76x the strict-f32
+        throughput.
       * float32 / highest — 6-pass full-precision: exact-parity runs
         (deviation ~1e-5 mm).
       * bfloat16 / default / fast — single-pass MXU mode: FAILS the bar
