@@ -283,7 +283,7 @@ def measure_end_to_end(cfg, smpl, params, n_streams=8, frames=120):
 
 
 def prepare_training(vidlen=126, num_iters=120, hp=None,
-                     fast_encoder=False, mode="full"):
+                     fast_encoder=False, mode="full", ablate=None):
     """Build + warm one packed GAN train segment; return (run, finish).
 
     `run()` executes one segment call and syncs (the donated carry is
@@ -359,7 +359,7 @@ def prepare_training(vidlen=126, num_iters=120, hp=None,
 
     seg, carry_packer, data_packer = make_packed_train_segment(
         smpl, cfg, hp, gen_tx, disc_tx, LossWeights(), num_iters,
-        carry, data, mode=mode)
+        carry, data, mode=mode, ablate=ablate)
     carry_flats = tuple(jax.device_put(jnp.asarray(f))
                         for f in carry_packer.pack_np(carry))
     data_flats = tuple(jnp.asarray(f) for f in data_packer.pack_np(data))

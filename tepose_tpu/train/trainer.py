@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from tepose_tpu.models.gcn import motion_discriminator_apply
+from tepose_tpu.models.gcn import BN_MOMENTUM, motion_discriminator_apply
 from tepose_tpu.models.smpl import SmplModel
 from tepose_tpu.models.tepose import TePoseConfig, tepose_apply
 from tepose_tpu.train.loss import LossWeights, tepose_loss
@@ -62,10 +62,68 @@ class TrainHyper:
     # so halving weight bytes is the measured throughput knob; the f32
     # default is exact reference parity.
     compute_dtype: Optional[str] = None
+    # Share the fake-motion discriminator FORWARD between the generator's
+    # adversarial pass and the discriminator's fake pass via a
+    # cotangent-routing custom_vjp (gradients mathematically identical,
+    # pinned by test_shared_fake_disc_grad_parity; BN running stats get
+    # the reference's double-EMA update via an exact affine composition).
+    # Motivation: XLA's CPU cost model shows the duplicated fake forward
+    # is NOT CSE'd (2 passes compile to 2.03x the FLOPs of 1). MEASURED
+    # OUTCOME on the v5e, fast tier: 64.05 vs 64.18 wps — a no-op; the
+    # saved forward hides entirely under the step's other latency (the
+    # same effect that makes the generator backward ~free there, see
+    # BENCH_NOTES fast-tier attribution). Default OFF: the two-call
+    # structure mirrors the reference and costs nothing measurable.
+    share_fake_disc: bool = False
 
 
 def _slice_t(x: jnp.ndarray, j, size: int, axis: int) -> jnp.ndarray:
     return jax.lax.dynamic_slice_in_dim(x, j, size, axis=axis)
+
+
+def _make_shared_fake_disc(num_gcn_scales: int, num_g3d_scales: int):
+    """One discriminator forward serving both fake-motion loss terms.
+
+    Returns shared(disc_params, x, state, mask) -> (v_gen, v_disc, new_state)
+    where v_gen and v_disc are the SAME forward value, but backward routes
+    v_gen's cotangent to `x` only (the generator's adversarial path, ref
+    loss.py:143-147 with frozen disc) and v_disc's cotangent to
+    `disc_params` only (the discriminator's fake term, ref loss.py:150 with
+    detached input). Equivalent to calling the discriminator twice with the
+    respective stop_gradients — which is what the reference executes — at
+    one forward instead of two. state/mask receive zero cotangents (BN
+    running stats and data masks are not differentiated, matching torch
+    buffer semantics).
+    """
+
+    def apply_(dp, x, state, mask):
+        return motion_discriminator_apply(
+            dp, state, x, num_gcn_scales=num_gcn_scales,
+            num_g3d_scales=num_g3d_scales, train=True, row_mask=mask)
+
+    @jax.custom_vjp
+    def shared(dp, x, state, mask):
+        v, new_s = apply_(dp, x, state, mask)
+        return v, v, new_s
+
+    def shared_fwd(dp, x, state, mask):
+        (v, new_s), vjp_fn = jax.vjp(apply_, dp, x, state, mask)
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, (state, mask))
+        return (v, v, new_s), (vjp_fn, zeros)
+
+    def shared_bwd(res, cts):
+        vjp_fn, (zstate, zmask) = res
+        ct_gen, ct_disc, ct_state = cts
+        zeros_state = jax.tree_util.tree_map(jnp.zeros_like, ct_state)
+        # adversarial path: only the input's gradient survives (XLA DCEs
+        # the unused dW matmuls), exactly like the frozen-params call
+        _, dx, _, _ = vjp_fn((ct_gen, zeros_state))
+        # fake path: only the params' gradient survives
+        ddp, _, _, _ = vjp_fn((ct_disc, ct_state))
+        return ddp, dx, zstate, zmask
+
+    shared.defvjp(shared_fwd, shared_bwd)
+    return shared
 
 
 def assemble_window(batch_2d: Dict, batch_3d: Dict, theta_buf: jnp.ndarray,
@@ -149,6 +207,7 @@ def make_train_segment(
     weights: LossWeights,
     num_iters: int,
     mode: str = "full",
+    ablate: Optional[str] = None,
 ):
     """Build the jitted function running `num_iters` windows of GAN training
     over one (2D batch, 3D batch) pair entirely on device.
@@ -163,14 +222,23 @@ def make_train_segment(
     mode: "full" (train), or the measurement ablations used by
     tools/bench_notes.py's train-time breakdown — "forward" runs only the
     loss values (no backward, no updates) and "grad" runs forward+backward
-    but skips the optimizer (gradients pinned by an optimization_barrier +
-    a one-element read so XLA can neither dead-code nor slice-through the
-    backward, and no measurement-only HBM traffic is added). Both keep the
-    exact window
-    assembly and theta-ring recurrence of the real step.
+    but skips the optimizer (gradients kept alive by a full square-reduce
+    so XLA can neither dead-code nor slice-through the backward — see the
+    mode=="grad" comment below). Both keep the exact window assembly and
+    theta-ring recurrence of the real step.
+
+    ablate: measurement-only component excision for the per-component
+    attribution (bench_notes `breakdown_fast`): "disc" replaces the
+    3 motion-discriminator passes with a zero surrogate (XLA dead-codes
+    the whole GCN, forward AND backward; the LSGAN scalar plumbing, window
+    assembly and every other component stay live) so full-vs-ablated
+    interleaved deltas measure the discriminator's in-situ cost. Never
+    used for real training.
     """
     if mode not in ("full", "grad", "forward"):
         raise ValueError(f"unknown mode {mode!r}")
+    if ablate not in (None, "disc"):
+        raise ValueError(f"unknown ablate {ablate!r}")
     S = hp.seqlen
     cd = jnp.dtype(hp.compute_dtype) if hp.compute_dtype else None
 
@@ -224,11 +292,43 @@ def make_train_segment(
 
         calls = {"n": 0}
 
-        def disc_fn(x, mask):
-            calls["n"] += 1
-            # 1st call = generator adversarial pass; 2nd/3rd = disc update
-            return disc_fn_gen(x, mask) if calls["n"] == 1 \
-                else disc_fn_disc(x, mask)
+        if ablate == "disc":
+            def disc_fn(x, mask):
+                return x[:, 0, 0] * 0.0
+        elif hp.share_fake_disc:
+            shared = _make_shared_fake_disc(hp.num_gcn_scales,
+                                            hp.num_g3d_scales)
+            cache = {}
+
+            def disc_fn(x, mask):
+                calls["n"] += 1
+                if calls["n"] == 1:
+                    # one forward serves the adversarial AND fake terms;
+                    # the 2nd call's argument is stop_gradient(pred_motion)
+                    # == this x by value (loss.py builds both from
+                    # pred_motion), so returning the cached twin is exact
+                    v_gen, v_disc, s1 = shared(disc_params, x,
+                                               state_box["s"], mask)
+                    # the reference pushes the fake batch through BN twice,
+                    # so running stats advance by TWO EMA steps of the same
+                    # batch mean/var: s2 = s1 + (1-m)(s1-s0), exactly s1
+                    # for untouched leaves (the adjacency constants)
+                    s0 = state_box["s"]
+                    state_box["s"] = jax.tree_util.tree_map(
+                        lambda a1, a0: a1 + (1.0 - BN_MOMENTUM) * (a1 - a0),
+                        s1, s0)
+                    cache["v_disc"] = v_disc
+                    return v_gen
+                if calls["n"] == 2:
+                    return cache.pop("v_disc")
+                return disc_fn_disc(x, mask)
+        else:
+            def disc_fn(x, mask):
+                calls["n"] += 1
+                # 1st call = generator adversarial pass; 2nd/3rd = disc
+                # update
+                return disc_fn_gen(x, mask) if calls["n"] == 1 \
+                    else disc_fn_disc(x, mask)
 
         gen_loss, dis_loss, ld = tepose_loss(
             preds, kp_2d_gt=targets["kp_2d"], kp_3d_gt=targets["kp_3d"],
@@ -300,16 +400,22 @@ def make_train_segment(
             disc_params, disc_opt = jax.lax.cond(
                 do_disc, disc_update, lambda a: a, (disc_params, disc_opt))
         elif mode == "grad":
-            # Keep the backward alive without adding work the real step
-            # doesn't do: an optimization_barrier forces every gradient
-            # tensor to be fully materialized (XLA cannot slice through
-            # it), then one element per leaf is read. A full square-reduce
-            # here would add ~28 B/param of HBM reads (~0.3 ms/iter at
-            # flagship size) that train_time_breakdown would mis-attribute
-            # to the backward pass.
-            g_gen, g_disc = jax.lax.optimization_barrier((g_gen, g_disc))
+            # Keep the backward alive with a full square-reduce over every
+            # gradient leaf. The previous barrier + one-element read was
+            # UNFALSIFIABLE: dW[0,0] = x[:,0].dy[:,0] needs only one
+            # column, so XLA slicing through the barrier could not be
+            # ruled out when the measured backward came out near-zero.
+            # The square-reduce provably materializes every gradient
+            # element; the fast-tier no-disc backward delta STAYED ~free
+            # (0.19 -> 0.05 ms) under it, turning "suspicious" into a
+            # finding: the generator backward genuinely hides in the
+            # MXU idle time of the latency-bound forward (BENCH_NOTES
+            # fast-tier attribution). Costs one param-sized HBM read
+            # (~260 MB f32 ~= 0.3-0.4 ms at flagship size) which callers
+            # of train_time_breakdown must treat as an upper-bias on the
+            # backward attribution.
             metrics_extra["grad_keepalive"] = sum(
-                g.ravel()[0].astype(jnp.float32)
+                jnp.sum(jnp.square(g.astype(jnp.float32)))
                 for t in (g_gen, g_disc)
                 for g in jax.tree_util.tree_leaves(t))
 
@@ -352,7 +458,8 @@ def make_train_segment(
 
 def make_packed_train_segment(smpl, model_cfg, hp, gen_tx, disc_tx, weights,
                               num_iters, carry_template, data_template,
-                              mode: str = "full"):
+                              mode: str = "full",
+                              ablate: Optional[str] = None):
     """Packed-IO variant of make_train_segment for the remote-TPU link.
 
     The training carry (both nets' params, optimiser states, BN state —
@@ -368,7 +475,7 @@ def make_packed_train_segment(smpl, model_cfg, hp, gen_tx, disc_tx, weights,
     from tepose_tpu.utils.packing import FlatPacker
 
     base = make_train_segment(smpl, model_cfg, hp, gen_tx, disc_tx, weights,
-                              num_iters, mode=mode)
+                              num_iters, mode=mode, ablate=ablate)
     carry_packer = FlatPacker(carry_template)
     data_packer = FlatPacker(data_template)
 

@@ -451,3 +451,94 @@ def test_train_segment_bitwise_deterministic(rng):
     for k in m1:
         np.testing.assert_array_equal(np.asarray(m1[k]), np.asarray(m2[k]),
                                       err_msg=k)
+
+
+def test_train_segment_disc_ablation(rng):
+    """`ablate="disc"` (the bench_notes in-situ attribution knob) must keep
+    every non-discriminator loss term IDENTICAL to the real step — the
+    surrogate only zeroes the adversarial terms — and must not touch the
+    generator's keypoint/SMPL learning signal."""
+    hp = TrainHyper(seqlen=6, n_2d=2, n_3d=3, num_gcn_scales=3,
+                    num_g3d_scales=2)
+    model_cfg = TePoseConfig(seqlen=6, n_layers=1, hidden_size=32)
+    smpl = synthetic_smpl_model(seed=0, num_verts=64)
+    gen_params = tepose_init(jax.random.PRNGKey(0), model_cfg)
+    disc_params, disc_state = motion_discriminator_init(
+        jax.random.PRNGKey(1), num_gcn_scales=3, num_g3d_scales=2)
+    gen_tx = make_optimizer("adam", 1e-4)
+    disc_tx = make_optimizer("adam", 1e-4, weight_decay=1e-4)
+    batch_2d, batch_3d = _tiny_batches(rng, hp)
+    amass = jnp.asarray(
+        rng.randn(1, hp.n_2d + hp.n_3d, 6, 85).astype(np.float32) * 0.1)
+    key = jax.random.PRNGKey(7)
+    copy = lambda t: jax.tree_util.tree_map(jnp.array, t)  # noqa: E731
+
+    outs = {}
+    for ab in (None, "disc"):
+        seg = make_train_segment(smpl, model_cfg, hp, gen_tx, disc_tx,
+                                 LossWeights(), 1, mode="forward",
+                                 ablate=ab)
+        outs[ab] = seg(copy(gen_params), copy(disc_params),
+                       copy(disc_state), copy(gen_tx.init(gen_params)),
+                       copy(disc_tx.init(disc_params)),
+                       batch_2d, batch_3d, amass, key)[5]
+    # non-adversarial terms bit-agree; adversarial terms are the surrogate's
+    for k in ("loss_kp_2d", "loss_kp_3d", "loss_pose", "loss_shape"):
+        np.testing.assert_array_equal(
+            np.asarray(outs[None][k]), np.asarray(outs["disc"][k]),
+            err_msg=k)
+    assert float(outs["disc"]["d_m_disc_fake"]) == 0.0
+
+    with pytest.raises(ValueError, match="ablate"):
+        make_train_segment(smpl, model_cfg, hp, gen_tx, disc_tx,
+                           LossWeights(), 1, ablate="bogus")
+
+
+def test_shared_fake_disc_grad_parity(rng):
+    """share_fake_disc=True (one fake-motion discriminator forward with a
+    cotangent-routing custom_vjp) must produce the SAME losses, gradients
+    and updated params as the literal two-call structure the reference
+    executes — it is an execution fusion, not an algorithm change."""
+    model_cfg = TePoseConfig(seqlen=6, n_layers=1, hidden_size=32)
+    smpl = synthetic_smpl_model(seed=0, num_verts=64)
+    gen_params = tepose_init(jax.random.PRNGKey(0), model_cfg)
+    disc_params, disc_state = motion_discriminator_init(
+        jax.random.PRNGKey(1), num_gcn_scales=3, num_g3d_scales=2)
+    gen_tx = make_optimizer("adam", 1e-4)
+    disc_tx = make_optimizer("adam", 1e-4, weight_decay=1e-4)
+    amass = jnp.asarray(
+        rng.randn(2, 5, 6, 85).astype(np.float32) * 0.1)
+    key = jax.random.PRNGKey(7)
+    copy = lambda t: jax.tree_util.tree_map(jnp.array, t)  # noqa: E731
+
+    outs = {}
+    for shared in (False, True):
+        hp = TrainHyper(seqlen=6, n_2d=2, n_3d=3, num_gcn_scales=3,
+                        num_g3d_scales=2, share_fake_disc=shared)
+        batch_2d, batch_3d = _tiny_batches(
+            np.random.RandomState(0), hp)
+        seg = make_train_segment(smpl, model_cfg, hp, gen_tx, disc_tx,
+                                 LossWeights(), 2)
+        outs[shared] = seg(copy(gen_params), copy(disc_params),
+                           copy(disc_state), copy(gen_tx.init(gen_params)),
+                           copy(disc_tx.init(disc_params)),
+                           batch_2d, batch_3d, amass, key)
+    # metrics (losses) agree to float tolerance
+    for k in outs[True][5]:
+        np.testing.assert_allclose(
+            float(outs[True][5][k]), float(outs[False][5][k]),
+            rtol=2e-5, atol=1e-6, err_msg=k)
+    # updated params of BOTH nets agree (i.e. every gradient agreed):
+    # after 2 Adam steps any gradient rerouting error would diverge them
+    for i, name in ((0, "gen"), (1, "disc")):
+        la = jax.tree_util.tree_leaves(outs[True][i])
+        lb = jax.tree_util.tree_leaves(outs[False][i])
+        for a, b in zip(la, lb):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=2e-4, atol=2e-6, err_msg=name)
+    # BN running stats follow the same double-EMA trajectory
+    for a, b in zip(jax.tree_util.tree_leaves(outs[True][2]),
+                    jax.tree_util.tree_leaves(outs[False][2])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
