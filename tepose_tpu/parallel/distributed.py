@@ -147,7 +147,29 @@ def barrier(name: str) -> None:
         return
     from jax.experimental import multihost_utils
 
+    # line up over gRPC first: if this is the process's first collective,
+    # the gloo communicator rendezvous below has a hard 30 s deadline
+    # that startup/compile skew between processes can blow
+    service_barrier(f"pre:{name}")
     multihost_utils.sync_global_devices(name)
+
+
+def service_barrier(name: str, timeout_s: float = 600.0) -> None:
+    """Line processes up over the coordination service's gRPC channel —
+    NOT a device collective. Use before a program's FIRST cross-process
+    collective: gloo's communicator rendezvous has a hard 30 s deadline,
+    so on a contended host a fast process (warm compile cache) can reach
+    the collective and time out while a slow one is still importing.
+    `barrier()` above cannot serve here — it IS a collective. No-op
+    single-process."""
+    if process_count() == 1:
+        return
+    from jax._src import distributed as jdist
+
+    client = getattr(jdist.global_state, "client", None)
+    if client is None:
+        return
+    client.wait_at_barrier(name, timeout_in_ms=int(timeout_s * 1000))
 
 
 def broadcast_str(s: str, max_len: int = 512) -> str:
@@ -159,6 +181,9 @@ def broadcast_str(s: str, max_len: int = 512) -> str:
         return s
     from jax.experimental import multihost_utils
 
+    # see barrier(): align over gRPC before the device collective so a
+    # first-collective gloo rendezvous cannot time out on startup skew
+    service_barrier("pre:broadcast_str")
     buf = np.zeros((max_len,), np.uint8)
     raw = s.encode()
     if len(raw) > max_len:

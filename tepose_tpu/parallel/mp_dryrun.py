@@ -132,7 +132,16 @@ def run_payload() -> dict:
         return jnp.stack([m[k] for k in sorted(m)]), out[0]
 
     with mesh:
-        mvec, new_gen = train_metrics(
+        # AOT-compile, THEN meet at a coordination-service barrier, THEN
+        # execute: the first execution creates the gloo communicators,
+        # whose rendezvous has a hard 30 s deadline — with warm compile
+        # caches a fast process can otherwise reach it and time out while
+        # a sibling is still importing/compiling on a contended host
+        compiled = train_metrics.lower(
+            gen_params, disc_params, disc_state, gen_opt, disc_opt,
+            batch_2d, batch_3d, amass, jax.random.PRNGKey(0)).compile()
+        distributed.service_barrier("train_gloo_warm")
+        mvec, new_gen = compiled(
             gen_params, disc_params, disc_state, gen_opt, disc_opt,
             batch_2d, batch_3d, amass, jax.random.PRNGKey(0))
     metrics = {k: float(v) for k, v in
@@ -156,8 +165,11 @@ def run_payload() -> dict:
 
     efn_rep = jax.jit(lambda *a: efn(*a), out_shardings=rep)
     with mesh:
-        pj, pt, mp = efn_rep(new_gen, vibe, edata["feats"], edata["pseu"],
-                             edata["gt"], jreg)
+        eargs = (new_gen, vibe, edata["feats"], edata["pseu"],
+                 edata["gt"], jreg)
+        ecompiled = efn_rep.lower(*eargs).compile()
+        distributed.service_barrier("eval_gloo_warm")
+        pj, pt, mp = ecompiled(*eargs)
     pt = np.asarray(pt)
     assert np.isfinite(pt).all()
 
@@ -252,6 +264,11 @@ def spawn_and_compare(num_processes: int = 2, total_devices: int = 8,
     def launch(out, extra):
         env = dict(os.environ)
         env.pop("JAX_PLATFORMS", None)
+        # workers compile and execute on THIS host, so the suite's
+        # host-local CPU compile cache is safe and saves the workers'
+        # dominant cost on repeat runs (utils/cache.py opt-in)
+        env.setdefault("TEPOSE_JAX_CACHE",
+                       os.path.join(repo, ".jax_cache_cpu"))
         return subprocess.Popen(
             [sys.executable, "-m", "tepose_tpu.parallel.mp_dryrun",
              "--out", out] + extra,
@@ -259,25 +276,36 @@ def spawn_and_compare(num_processes: int = 2, total_devices: int = 8,
             stderr=subprocess.STDOUT, text=True)
 
     with tempfile.TemporaryDirectory() as td:
+        logs = {}
+
+        def drain(procs):
+            for name, proc in procs:
+                logs[name], _ = proc.communicate(timeout=timeout)
+                if proc.returncode:
+                    raise RuntimeError(
+                        f"mp_dryrun {name} failed "
+                        f"(rc={proc.returncode}):\n{logs[name][-4000:]}")
+
+        # the single-process reference runs to COMPLETION before the
+        # coordinated workers start: it shares no runtime with them, and
+        # on a small CPU rig running all three concurrently skews the
+        # workers' startup enough to blow gloo's 30 s first-collective
+        # rendezvous (observed once warm compile caches made worker
+        # startup fast relative to the contended reference)
         ref_out = os.path.join(td, "ref.json")
-        procs = [("ref", launch(ref_out, ["--local-devices",
-                                          str(total_devices)]))]
+        drain([("ref", launch(ref_out,
+                              ["--local-devices", str(total_devices)]))])
         worker_outs = []
+        workers = []
         for p in range(num_processes):
             out = os.path.join(td, f"w{p}.json")
             worker_outs.append(out)
-            procs.append((f"w{p}", launch(out, [
+            workers.append((f"w{p}", launch(out, [
                 "--coordinator", f"localhost:{port}",
                 "--num-processes", str(num_processes),
                 "--process-id", str(p),
                 "--local-devices", str(total_devices // num_processes)])))
-        logs = {}
-        for name, proc in procs:
-            logs[name], _ = proc.communicate(timeout=timeout)
-            if proc.returncode:
-                raise RuntimeError(
-                    f"mp_dryrun {name} failed "
-                    f"(rc={proc.returncode}):\n{logs[name][-4000:]}")
+        drain(workers)
         with open(ref_out) as f:
             ref = json.load(f)
         runs = []

@@ -47,6 +47,8 @@ class TrainLoop:
         self.cfg = cfg
         self.segment_factory = segment_factory
         self.segment = None           # built lazily at first batch
+        self._segment_exec = None     # AOT executable (see train_epoch)
+        self._exec_of = None          # the segment the executable came from
         self.carry_packer = None
         self.data_packer = None
         self.carry_flats = None
@@ -143,8 +145,24 @@ class TrainLoop:
                 _as_device(f) for f in self.data_packer.pack_np(
                     {"batch_2d": b2, "batch_3d": b3, "amass": amass}))
             self.rng, k = jax.random.split(self.rng)
-            self.carry_flats, mvec = self.segment(self.carry_flats,
-                                                  data_flats, k)
+            if self._segment_exec is None or self._exec_of is not self.segment:
+                # AOT-compile, line up over the coordination service, THEN
+                # execute: the first execution creates the cross-process
+                # gloo communicators, whose rendezvous has a hard 30 s
+                # deadline — with warm compile caches one process can
+                # otherwise reach it while a sibling is still compiling
+                # (single-process: the barrier is a no-op and the AOT
+                # compile is just the normal first-call compile). Segment
+                # stand-ins without .lower (tests) are called directly.
+                if hasattr(self.segment, "lower"):
+                    self._segment_exec = self.segment.lower(
+                        self.carry_flats, data_flats, k).compile()
+                    distributed.service_barrier("first_train_segment")
+                else:
+                    self._segment_exec = self.segment
+                self._exec_of = self.segment
+            self.carry_flats, mvec = self._segment_exec(self.carry_flats,
+                                                        data_flats, k)
             mvec = np.asarray(mvec)
             names = self.segment.metric_names()
             last_metrics = dict(zip(names, mvec.tolist()))
@@ -330,6 +348,7 @@ class TrainLoop:
             self.disc_opt = _tree_to_opt(trees["disc_opt"], self.disc_opt)
         # force re-pack of the device carry from the restored host trees
         self.segment = None
+        self._segment_exec = None
         self.carry_flats = None
         self.start_epoch = int(scalars.get("epoch", -1)) + 1
         self.best_performance = float(scalars.get("performance",

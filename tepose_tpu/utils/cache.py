@@ -15,14 +15,18 @@ def enable_persistent_cache(path: str = None) -> str:
     import jax
 
     # CPU AOT cache entries are machine-feature specific and can SIGILL when
-    # the compile service and execution host differ — cache only for TPU.
-    if jax.default_backend() != "tpu":
+    # the compile service and execution host differ — default to caching only
+    # for TPU. An EXPLICIT path (argument or TEPOSE_JAX_CACHE env) opts in
+    # anyway: callers that compile and execute on the same host (the test
+    # suite's spawned multi-process/CLI subprocesses, see tests/conftest.py
+    # for the same reasoning) set it to the suite's host-local cache so
+    # repeat runs skip their dominant compile cost.
+    explicit = path or os.environ.get("TEPOSE_JAX_CACHE")
+    if jax.default_backend() != "tpu" and not explicit:
         return ""
 
-    path = path or os.environ.get(
-        "TEPOSE_JAX_CACHE",
-        osp.join(osp.dirname(osp.dirname(osp.dirname(
-            osp.abspath(__file__)))), ".jax_cache"))
+    path = explicit or osp.join(osp.dirname(osp.dirname(osp.dirname(
+        osp.abspath(__file__)))), ".jax_cache")
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -205,6 +205,9 @@ def test_train_cli_two_processes(tmp_path):
             "TEPOSE_COORDINATOR": f"localhost:{port}",
             "TEPOSE_NUM_PROCESSES": "2",
             "TEPOSE_PROCESS_ID": str(p),
+            # same-host compile+execute: share the suite's CPU compile
+            # cache so repeat runs skip the workers' compile cost
+            "TEPOSE_JAX_CACHE": os.path.join(str(REPO), ".jax_cache_cpu"),
         })
         procs.append(subprocess.Popen(
             [sys.executable, "-c", script], cwd=REPO, env=env,

@@ -84,6 +84,9 @@ def test_self_test_end_to_end(tmp_path):
         "sys.exit(verify_release.main())\n")
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
+    # same-host compile+execute: share the suite's CPU compile cache so
+    # repeat runs skip the subprocess's compile cost (utils/cache.py opt-in)
+    env["TEPOSE_JAX_CACHE"] = os.path.join(str(REPO), ".jax_cache_cpu")
     out = subprocess.run([sys.executable, "-c", script], cwd=REPO, env=env,
                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                          text=True, timeout=2400)
